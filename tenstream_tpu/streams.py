@@ -1,0 +1,169 @@
+"""Stream-scheme definitions for the cube solvers.
+
+Parity: reference `src/pprts.F90:256-450` (per-scheme `is_inward` masks and
+dof counts) and the BoxMC `.inc` stream geometries (e.g.
+`src/boxmc_3_10.inc:20-64`).  A scheme "A_B" has A direct and B diffuse
+streams per cell, grouped as
+
+  direct : [dirtop dofs | dirside-x dofs | dirside-y dofs]
+  diffuse: [difftop dofs | diffside-x dofs | diffside-y dofs]
+
+`is_inward` semantics (reference `t_dof`, `src/pprts_base.F90:171`):
+for top dofs, inward == downward (+z index direction); for side dofs,
+inward == toward increasing x (resp. y).  The state arrays index streams
+by the face at the low-index side of a cell: top stream dof at level k
+lives on the z-face above cell-layer k; a side stream dof at column i
+lives on the x-face between cells i-1 and i (periodic).
+
+`area_divider` splits the face area across the dofs sharing it
+(`src/pprts.F90:362-368` for 8_10: dirtop divider 4, dirside 2).
+
+Stream <-> LUT numbering: the flattened diffuse dof order here equals the
+BoxMC destination numbering of the reference schemes (checked against
+`src/boxmc_3_10.inc:36-64`), so transfer matrices are indexed [src, dst]
+with both in dof order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DofGroup:
+    is_inward: Tuple[bool, ...]
+    area_divider: int = 1
+
+    @property
+    def dof(self) -> int:
+        return len(self.is_inward)
+
+    @property
+    def streams(self) -> int:
+        # reference: difftop%streams = dof/2 (up/down pairs), dir streams = dof
+        return max(1, self.dof)
+
+
+@dataclass(frozen=True)
+class StreamScheme:
+    """Static description of one solver scheme (replaces the reference's
+    13 `t_solver_*` derived types with data)."""
+
+    name: str
+    dirtop: DofGroup
+    dirside: DofGroup
+    difftop: DofGroup
+    diffside: DofGroup
+
+    # ---- counts ---------------------------------------------------------
+    @property
+    def ndir(self) -> int:
+        return self.dirtop.dof + 2 * self.dirside.dof
+
+    @property
+    def ndiff(self) -> int:
+        return self.difftop.dof + 2 * self.diffside.dof
+
+    @property
+    def difftop_streams(self) -> int:
+        return max(1, self.difftop.dof // 2)
+
+    @property
+    def diffside_streams(self) -> int:
+        return max(1, self.diffside.dof // 2)
+
+    # ---- offset/direction tables (numpy, used at trace time) ------------
+    def dir_src_offsets(self) -> np.ndarray:
+        """(ndir, 3) int offsets (dz, dx, dy) of each direct src face
+        relative to cell (k,i,j), for canonical sun orientation
+        xinc=yinc=1 (reference sweep reads src top at k, x-side at face i,
+        y-side at face j: `src/pprts_explicit.F90:399-413` with
+        i+1-xinc == i for xinc=1)."""
+        out = []
+        for _ in range(self.dirtop.dof):
+            out.append((0, 0, 0))
+        for _ in range(self.dirside.dof):
+            out.append((0, 0, 0))
+        for _ in range(self.dirside.dof):
+            out.append((0, 0, 0))
+        return np.array(out, np.int32)
+
+    def diff_axis(self) -> np.ndarray:
+        """(ndiff,) axis id per diffuse dof: 0=z(top), 1=x-side, 2=y-side."""
+        return np.array(
+            [0] * self.difftop.dof + [1] * self.diffside.dof + [2] * self.diffside.dof,
+            np.int32,
+        )
+
+    def diff_inward(self) -> np.ndarray:
+        """(ndiff,) bool: inward flag per diffuse dof."""
+        return np.array(
+            list(self.difftop.is_inward)
+            + list(self.diffside.is_inward) * 2,
+            bool,
+        )
+
+    def dir_axis(self) -> np.ndarray:
+        return np.array(
+            [0] * self.dirtop.dof + [1] * self.dirside.dof + [2] * self.dirside.dof,
+            np.int32,
+        )
+
+    def diff_inv_dof(self) -> np.ndarray:
+        """(ndiff,) index of the same stream with opposite direction
+        (reference `inv_dof`, `src/pprts_explicit.F90:1001-1014`).
+        Streams come in adjacent (out, in) pairs in every scheme."""
+        inv = np.arange(self.ndiff)
+        axis = self.diff_axis()
+        inward = self.diff_inward()
+        # pair adjacent dofs with opposite direction within the same group
+        i = 0
+        while i < self.ndiff - 1:
+            if axis[i] == axis[i + 1] and inward[i] != inward[i + 1]:
+                inv[i], inv[i + 1] = i + 1, i
+                i += 2
+            else:
+                i += 1
+        return inv
+
+
+def _grp(mask, divider=1) -> DofGroup:
+    return DofGroup(tuple(mask), divider)
+
+
+# Scheme registry, masks verbatim from reference `src/pprts.F90:256-450`.
+F, T = False, True
+SCHEMES: Dict[str, StreamScheme] = {
+    "1_2": StreamScheme("1_2", _grp([T]), _grp([]), _grp([F, T]), _grp([])),
+    "2str": StreamScheme("2str", _grp([T]), _grp([]), _grp([F, T]), _grp([])),
+    "disort": StreamScheme("disort", _grp([T]), _grp([]), _grp([F, T]), _grp([])),
+    "3_6": StreamScheme("3_6", _grp([T]), _grp([T]), _grp([F, T]), _grp([F, T])),
+    "3_10": StreamScheme("3_10", _grp([T]), _grp([T]), _grp([F, T]), _grp([F, T, F, T])),
+    "3_16": StreamScheme(
+        "3_16", _grp([T]), _grp([T]), _grp([F, T] * 4), _grp([F, T, F, T])
+    ),
+    "3_24": StreamScheme(
+        "3_24", _grp([T]), _grp([T]), _grp([F, T] * 4), _grp([T, F] * 4)
+    ),
+    "3_30": StreamScheme(
+        "3_30", _grp([T]), _grp([T]), _grp([F, T] * 5), _grp([T, F] * 5)
+    ),
+    "8_10": StreamScheme(
+        "8_10", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T]), _grp([F, T, F, T])
+    ),
+    "8_16": StreamScheme(
+        "8_16", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T] * 4), _grp([F, T, F, T])
+    ),
+    "8_18": StreamScheme(
+        "8_18", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T] * 5), _grp([F, T, F, T])
+    ),
+}
+
+
+def get_scheme(name: str) -> StreamScheme:
+    if name not in SCHEMES:
+        raise KeyError(f"unknown scheme {name!r}; known: {sorted(SCHEMES)}")
+    return SCHEMES[name]
