@@ -1,0 +1,162 @@
+"""Per-scheme photon source sampling and destination classification.
+
+Parity: the reference's per-scheme include files
+(`src/boxmc_3_10.inc`, `boxmc_1_2.inc`, `boxmc_3_6.inc`, ...) define
+`init_dir_photon / update_dir_stream / init_diff_photon /
+update_diff_stream` for each stream geometry.  Here each scheme is a small
+data-driven table instead of code: a source spec (face + angular window)
+per src stream and a classification rule (face + direction signs -> dst).
+
+Geometry: axis-aligned box [0,dx] x [0,dy] x [0,dz].  z is ALTITUDE
+(grid level k maps to the box's top face; k+1 to the bottom face).  The
+canonical sun octant moves toward (+x, +y, -z) — the reference computes
+LUTs for azimuth phi in [0,90] and unfolds other octants by symmetry
+(`src/optprop.F90:1009-1045`); we do the same.
+
+Faces: 0 TOP(z=dz), 1 BOT(z=0), 2 XMIN, 3 XMAX, 4 YMIN, 5 YMAX.
+
+Diffuse stream order per scheme matches `tenstream_tpu.streams` (which
+matches the reference BoxMC destination numbering; for 3_10 see
+`src/boxmc_3_10.inc:36-64`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+TOP, BOT, XMIN, XMAX, YMIN, YMAX = range(6)
+
+# inward unit normal per face
+_FACE_NORMAL = np.array(
+    [
+        [0.0, 0.0, -1.0],  # TOP: into the box is -z
+        [0.0, 0.0, 1.0],
+        [1.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, -1.0, 0.0],
+    ]
+)
+
+
+@dataclass(frozen=True)
+class DiffSrc:
+    face: int
+    zsign: int  # -1 down hemisphere, +1 up hemisphere, 0 unrestricted
+
+
+@dataclass(frozen=True)
+class BoxScheme:
+    name: str
+    ndir: int
+    ndiff: int
+    # direct source faces, in dir-dof order (canonical sun octant)
+    dir_src_faces: Tuple[int, ...]
+    # diffuse sources, in diff-dof order
+    diff_srcs: Tuple[DiffSrc, ...]
+    # classification tables:
+    #   dir_dst_by_face[face]  -> dir dst index or -1
+    #   diff_dst_by_face_zsign[face][0 (down) /1 (up)] -> diff dst index
+    dir_dst_by_face: Tuple[int, ...]
+    diff_dst_by_face_zsign: Tuple[Tuple[int, int], ...]
+
+
+def _mk_1_2() -> BoxScheme:
+    """1 direct + 2 diffuse streams: vertical transport only."""
+    return BoxScheme(
+        name="1_2",
+        ndir=1,
+        ndiff=2,
+        dir_src_faces=(TOP,),
+        diff_srcs=(DiffSrc(BOT, 0), DiffSrc(TOP, 0)),
+        # any side-exit is re-binned into the vertical streams by z-direction
+        dir_dst_by_face=(-1, 0, 0, 0, 0, 0),
+        diff_dst_by_face_zsign=(
+            (0, 0),  # TOP: Eup
+            (1, 1),  # BOT: Edn
+            (1, 0),  # XMIN: down->Edn, up->Eup (periodic re-entry equivalence)
+            (1, 0),
+            (1, 0),
+            (1, 0),
+        ),
+    )
+
+
+def _mk_3_6() -> BoxScheme:
+    """3 direct + 6 diffuse (one stream per face), `src/boxmc_3_6.inc`."""
+    return BoxScheme(
+        name="3_6",
+        ndir=3,
+        ndiff=6,
+        dir_src_faces=(TOP, XMIN, YMIN),
+        diff_srcs=(
+            DiffSrc(BOT, 0),  # Eup
+            DiffSrc(TOP, 0),  # Edn
+            DiffSrc(XMAX, 0),  # -x
+            DiffSrc(XMIN, 0),  # +x
+            DiffSrc(YMAX, 0),  # -y
+            DiffSrc(YMIN, 0),  # +y
+        ),
+        dir_dst_by_face=(-1, 0, -1, 1, -1, 2),
+        diff_dst_by_face_zsign=(
+            (0, 0),
+            (1, 1),
+            (2, 2),  # XMIN exit = stream moving -x
+            (3, 3),
+            (4, 4),
+            (5, 5),
+        ),
+    )
+
+
+def _mk_3_10() -> BoxScheme:
+    """3 direct + 10 diffuse streams, `src/boxmc_3_10.inc:36-64`.
+
+    Diffuse dofs: [0 Eup, 1 Edn, 2 (-x,dn), 3 (+x,dn), 4 (-x,up), 5 (+x,up),
+                   6 (-y,dn), 7 (+y,dn), 8 (-y,up), 9 (+y,up)].
+    """
+    return BoxScheme(
+        name="3_10",
+        ndir=3,
+        ndiff=10,
+        dir_src_faces=(TOP, XMIN, YMIN),
+        diff_srcs=(
+            DiffSrc(BOT, 0),
+            DiffSrc(TOP, 0),
+            DiffSrc(XMAX, -1),
+            DiffSrc(XMIN, -1),
+            DiffSrc(XMAX, +1),
+            DiffSrc(XMIN, +1),
+            DiffSrc(YMAX, -1),
+            DiffSrc(YMIN, -1),
+            DiffSrc(YMAX, +1),
+            DiffSrc(YMIN, +1),
+        ),
+        dir_dst_by_face=(-1, 0, -1, 1, -1, 2),
+        diff_dst_by_face_zsign=(
+            (0, 0),
+            (1, 1),
+            (2, 4),  # XMIN: down -> dof2, up -> dof4
+            (3, 5),
+            (6, 8),
+            (7, 9),
+        ),
+    )
+
+
+BOX_SCHEMES = {s.name: s for s in (_mk_1_2(), _mk_3_6(), _mk_3_10())}
+
+
+def get_box_scheme(name: str) -> BoxScheme:
+    if name not in BOX_SCHEMES:
+        raise KeyError(
+            f"BoxMC scheme {name!r} not implemented; available: {sorted(BOX_SCHEMES)}"
+        )
+    return BOX_SCHEMES[name]
+
+
+def face_normal(face: int) -> np.ndarray:
+    return _FACE_NORMAL[face]

@@ -1,0 +1,282 @@
+"""Vectorized Monte-Carlo photon tracing through a unit box.
+
+Parity: reference `src/boxmc.F90` (`t_boxmc%get_coeff`:395,
+`run_photons`:559, `move_photon`:742, `scatter_photon`:847 with
+Henyey-Greenstein sampling `hengreen`:819, `roulette`:682) and
+`src/boxmc_geometry.F90` (cube intersections).
+
+TPU-first redesign: instead of per-photon recursion, the whole photon
+batch advances in lockstep inside a `lax.while_loop` with alive masks —
+every step is a fused vector op over N photons.  Absorption uses implicit
+capture (weight *= exp(-kabs * pathlength), scattering-only free paths),
+which has lower variance than the reference's analog treatment; tallies
+therefore converge with fewer photons.
+
+Conventions (see `tenstream_tpu.boxmc.schemes`): box [0,dx]x[0,dy]x[0,dz],
+z is altitude, canonical sun octant (+x, +y, -z).
+
+Outputs are (T, S): T[dst] fraction of injected power leaving as direct
+radiation into direct stream dst (only for direct sources), S[dst]
+fraction leaving as diffuse radiation into diffuse stream dst.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tenstream_tpu.boxmc.schemes import BoxScheme, get_box_scheme
+
+_WEIGHT_ROULETTE = 1e-4
+_ROULETTE_SURVIVE = 0.5
+_BIG = 1e30
+
+
+def _hg_costheta(u, g):
+    """Sample cos(theta) from the Henyey-Greenstein phase function."""
+    iso = jnp.abs(g) < 1e-4
+    g_safe = jnp.where(iso, 0.5, g)
+    frac = (1.0 - g_safe**2) / (1.0 - g_safe + 2.0 * g_safe * u)
+    ct_hg = (1.0 + g_safe**2 - frac**2) / (2.0 * g_safe)
+    ct_iso = 2.0 * u - 1.0
+    return jnp.clip(jnp.where(iso, ct_iso, ct_hg), -1.0, 1.0)
+
+
+def _rotate_about(dirs, ct, phi):
+    """New direction at angle acos(ct) from `dirs` with azimuth phi."""
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    # build an orthonormal frame around the propagation direction
+    denom = jnp.sqrt(jnp.maximum(1e-12, 1.0 - dz * dz))
+    straight_up = jnp.abs(dz) > 0.99999
+    # u = normalized (d x z_hat), v = d x u
+    ux = jnp.where(straight_up, 1.0, dy / denom)
+    uy = jnp.where(straight_up, 0.0, -dx / denom)
+    uz = jnp.zeros_like(dz)
+    vx = uy * dz - uz * dy
+    vy = uz * dx - ux * dz
+    vz = ux * dy - uy * dx
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    nx = st * (cp * ux + sp * vx) + ct * dx
+    ny = st * (cp * uy + sp * vy) + ct * dy
+    nz = st * (cp * uz + sp * vz) + ct * dz
+    out = jnp.stack([nx, ny, nz], axis=-1)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+
+def _sample_on_face(key, face, dims, n):
+    """Uniform positions on a box face, nudged slightly inside."""
+    dx, dy, dz = dims
+    u = jax.random.uniform(key, (n, 2))
+    eps = 1e-6
+    x0 = u[:, 0] * dx
+    y0 = u[:, 1] * dy
+    zl = u[:, 0] * dz
+    pos = {
+        0: jnp.stack([x0, y0, jnp.full((n,), dz * (1 - eps))], -1),
+        1: jnp.stack([x0, y0, jnp.full((n,), dz * eps)], -1),
+        2: jnp.stack([jnp.full((n,), dx * eps), y0, zl], -1),
+        3: jnp.stack([jnp.full((n,), dx * (1 - eps)), y0, zl], -1),
+        4: jnp.stack([x0, jnp.full((n,), dy * eps), zl], -1),
+        5: jnp.stack([x0, jnp.full((n,), dy * (1 - eps)), zl], -1),
+    }[face]
+    return pos
+
+
+def _sample_lambertian(key, face, zsign, n):
+    """Lambertian directions about the inward normal of `face`;
+    optionally restricted to the up/down hemisphere (zsign).
+
+    Reference: `init_diff_photon_3_10` samples mu = sqrt(R) about the
+    face normal (`src/boxmc_3_10.inc:191`) with azimuth windows selecting
+    the hemisphere (:244-254); restricting by flipping the z-component is
+    the same distribution.
+    """
+    k1, k2 = jax.random.split(key)
+    mu = jnp.sqrt(jax.random.uniform(k1, (n,)))
+    phi = jax.random.uniform(k2, (n,)) * (2.0 * jnp.pi)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
+    a = st * jnp.cos(phi)  # first tangent component
+    b = st * jnp.sin(phi)  # second tangent component
+    z = jnp.zeros((n,))
+    if face == 0:  # TOP, inward -z
+        d = jnp.stack([a, b, -mu], -1)
+    elif face == 1:  # BOT, inward +z
+        d = jnp.stack([a, b, mu], -1)
+    elif face == 2:  # XMIN, inward +x; tangents (y, z)
+        d = jnp.stack([mu, a, b], -1)
+    elif face == 3:  # XMAX, inward -x
+        d = jnp.stack([-mu, a, b], -1)
+    elif face == 4:  # YMIN, inward +y
+        d = jnp.stack([a, mu, b], -1)
+    else:  # YMAX, inward -y
+        d = jnp.stack([a, -mu, b], -1)
+    del z
+    if zsign != 0:
+        zc = d[..., 2]
+        zc = jnp.where(zsign > 0, jnp.abs(zc), -jnp.abs(zc))
+        d = d.at[..., 2].set(zc)
+    return d
+
+
+def _exit_face(pos, dirs, dims):
+    """Distance to the box boundary and the face id that is hit."""
+    dx, dy, dz = dims
+    lo = jnp.zeros((3,))
+    hi = jnp.stack([dx, dy, dz])
+    d_safe = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    bound = jnp.where(dirs > 0, hi, lo)
+    t = (bound - pos) / d_safe
+    t = jnp.where(jnp.abs(dirs) < 1e-12, _BIG, jnp.maximum(t, 0.0))
+    axis = jnp.argmin(t, axis=-1)
+    tmin = jnp.min(t, axis=-1)
+    sign_pos = jnp.take_along_axis(dirs, axis[..., None], axis=-1)[..., 0] > 0
+    # faces: axis 0 -> XMIN/XMAX(2/3), axis 1 -> YMIN/YMAX(4/5), axis 2 -> BOT/TOP(1/0)
+    face = jnp.where(
+        axis == 0,
+        jnp.where(sign_pos, 3, 2),
+        jnp.where(
+            axis == 1,
+            jnp.where(sign_pos, 5, 4),
+            jnp.where(sign_pos, 0, 1),
+        ),
+    )
+    return tmin, face
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme_name", "src", "ldir", "n_photons", "max_iter", "periodic_xy"),
+)
+def run_boxmc(
+    key,
+    scheme_name: str,
+    src: int,
+    ldir: bool,
+    tauz,
+    w0,
+    g,
+    aspect,
+    phi_deg=0.0,
+    theta_deg=0.0,
+    n_photons: int = 10000,
+    max_iter: int = 3000,
+    periodic_xy: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace a photon batch for one (source, optical-state) combination.
+
+    Returns (T, S): direct and diffuse destination tallies, normalized by
+    the injected power (reference `t_boxmc%get_coeff`, `src/boxmc.F90:395`).
+    """
+    scheme = get_box_scheme(scheme_name)
+    dims = jnp.stack(
+        [jnp.asarray(1.0), jnp.asarray(1.0), jnp.asarray(aspect, jnp.float32)]
+    )
+    dz = dims[2]
+    kext = jnp.asarray(tauz, jnp.float32) / dz
+    w0 = jnp.asarray(w0, jnp.float32)
+    g = jnp.asarray(g, jnp.float32)
+    ksca = w0 * kext
+    kabs = (1.0 - w0) * kext
+
+    kpos, kdir, kloop = jax.random.split(key, 3)
+
+    if ldir:
+        face = scheme.dir_src_faces[src]
+        pos = _sample_on_face(kpos, face, dims, n_photons)
+        phi = jnp.deg2rad(jnp.asarray(phi_deg, jnp.float32))
+        theta = jnp.deg2rad(jnp.asarray(theta_deg, jnp.float32))
+        sundir = jnp.stack(
+            [
+                jnp.sin(phi) * jnp.sin(theta),
+                jnp.cos(phi) * jnp.sin(theta),
+                -jnp.cos(theta),
+            ]
+        )
+        dirs = jnp.broadcast_to(sundir, (n_photons, 3))
+    else:
+        spec = scheme.diff_srcs[src]
+        pos = _sample_on_face(kpos, spec.face, dims, n_photons)
+        dirs = _sample_lambertian(kdir, spec.face, spec.zsign, n_photons)
+
+    weights = jnp.ones((n_photons,), jnp.float32)
+    alive = jnp.ones((n_photons,), bool)
+    scattered = jnp.zeros((n_photons,), bool)
+
+    dir_table = jnp.asarray(scheme.dir_dst_by_face, jnp.int32)
+    diff_table = jnp.asarray(scheme.diff_dst_by_face_zsign, jnp.int32)  # (6,2)
+
+    T0 = jnp.zeros((scheme.ndir + 1,), jnp.float32)
+    S0 = jnp.zeros((scheme.ndiff + 1,), jnp.float32)
+
+    def cond(state):
+        i, _, _, _, alive, _, _, _, _ = state
+        return jnp.logical_and(i < max_iter, jnp.any(alive))
+
+    def body(state):
+        i, key, pos, dirs, alive, scattered, weights, T, S = state
+        key, ks, kphi, kct, krou = jax.random.split(key, 5)
+
+        dmax, face = _exit_face(pos, dirs, dims)
+        u = jax.random.uniform(ks, (n_photons,), minval=1e-12)
+        s_free = jnp.where(ksca > 1e-12, -jnp.log(u) / jnp.maximum(ksca, 1e-12), _BIG)
+        travel = jnp.minimum(s_free, dmax)
+        weights = weights * jnp.exp(-kabs * travel)
+        pos = pos + dirs * travel[..., None]
+
+        hit_boundary = alive & (s_free >= dmax)
+        if periodic_xy:
+            # horizontally-periodic column: side hits wrap around instead
+            # of exiting (gives the exact 1-D plane-parallel limit)
+            side = (face >= 2) & hit_boundary
+            dx_, dy_ = dims[0], dims[1]
+            px = jnp.where(side & (face == 2), dx_, jnp.where(side & (face == 3), 0.0, pos[..., 0]))
+            py = jnp.where(side & (face == 4), dy_, jnp.where(side & (face == 5), 0.0, pos[..., 1]))
+            pos = pos.at[..., 0].set(px).at[..., 1].set(py)
+            exiting = hit_boundary & (face < 2)
+        else:
+            exiting = hit_boundary
+        # destination binning
+        up = dirs[..., 2] > 0
+        diff_dst = diff_table[face, up.astype(jnp.int32)]
+        if ldir:
+            dir_dst = dir_table[face]
+            dir_dst = jnp.where(dir_dst < 0, scheme.ndir, dir_dst)
+            as_direct = exiting & (~scattered)
+            as_diffuse = exiting & scattered
+            T = T.at[jnp.where(as_direct, dir_dst, scheme.ndir)].add(
+                jnp.where(as_direct, weights, 0.0)
+            )
+            S = S.at[jnp.where(as_diffuse, diff_dst, scheme.ndiff)].add(
+                jnp.where(as_diffuse, weights, 0.0)
+            )
+        else:
+            S = S.at[jnp.where(exiting, diff_dst, scheme.ndiff)].add(
+                jnp.where(exiting, weights, 0.0)
+            )
+
+        # scatter the survivors
+        scattering = alive & (s_free < dmax)
+        ct = _hg_costheta(jax.random.uniform(kct, (n_photons,)), g)
+        sphi = jax.random.uniform(kphi, (n_photons,)) * (2.0 * jnp.pi)
+        new_dirs = _rotate_about(dirs, ct, sphi)
+        dirs = jnp.where(scattering[..., None], new_dirs, dirs)
+        scattered = scattered | scattering
+        alive = alive & (~exiting)
+
+        # Russian roulette on low weights (reference `roulette`:682)
+        low = alive & (weights < _WEIGHT_ROULETTE)
+        surv = jax.random.uniform(krou, (n_photons,)) < _ROULETTE_SURVIVE
+        weights = jnp.where(low & surv, weights / _ROULETTE_SURVIVE, weights)
+        alive = alive & ((~low) | surv)
+
+        return (i + 1, key, pos, dirs, alive, scattered, weights, T, S)
+
+    state = (0, kloop, pos, dirs, alive, scattered, weights, T0, S0)
+    _, _, _, _, _, _, _, T, S = jax.lax.while_loop(cond, body, state)
+
+    norm = 1.0 / float(n_photons)
+    return T[: scheme.ndir] * norm, S[: scheme.ndiff] * norm
