@@ -173,7 +173,11 @@ def run_boxmc(
     """
     scheme = get_box_scheme(scheme_name)
     dims = jnp.stack(
-        [jnp.asarray(1.0), jnp.asarray(1.0), jnp.asarray(aspect, jnp.float32)]
+        [
+            jnp.asarray(1.0),
+            jnp.asarray(1.0),
+            jnp.maximum(jnp.asarray(aspect, jnp.float32), 1e-6),
+        ]
     )
     dz = dims[2]
     kext = jnp.asarray(tauz, jnp.float32) / dz

@@ -1,0 +1,78 @@
+"""N-D multilinear interpolation over rectilinear (non-uniform) grids.
+
+Parity: reference `src/interpolation.F90` (`interp_vec_simplex_nd`:292 and
+the multilinear `interp_4d` variants) + `src/search.fypp`
+(`find_real_location` — fractional index of a value in a grid vector).
+
+TPU-first redesign: instead of interpolating one query point at a time
+inside Fortran loops, all grid cells are looked up at once — fractional
+indices via vectorized searchsorted, then a 2^k-corner gather from the
+flattened table.  This is the LUT-lookup inner loop of the whole solver
+(`src/optprop_LUT.F90:1452-1487`), so it must stay a single fused
+gather/FMA kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from tenstream_tpu.core.types import ireals
+
+
+def fractional_index(grid: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Fractional index of x in a sorted 1-D grid, clipped to the range.
+
+    Parity: `find_real_location`, `src/search.fypp:1-238`.
+    """
+    grid = jnp.asarray(grid)
+    n = grid.shape[0]
+    x = jnp.clip(x, grid[0], grid[-1])
+    i = jnp.clip(jnp.searchsorted(grid, x, side="right") - 1, 0, n - 2)
+    g0 = jnp.take(grid, i)
+    g1 = jnp.take(grid, i + 1)
+    frac = (x - g0) / jnp.maximum(g1 - g0, jnp.finfo(ireals).tiny)
+    return i.astype(ireals) + frac
+
+
+def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Multilinear interpolation of `table` at fractional indices.
+
+    Args:
+      table: (n0, n1, ..., n_{k-1}, C) values; C trailing payload channels.
+      fracs: k arrays of identical shape B, fractional indices per dim.
+
+    Returns: array of shape B + (C,).
+    """
+    k = len(fracs)
+    dims = table.shape[:k]
+    C = table.shape[k:]
+    flat = table.reshape((-1,) + C)
+
+    i0 = []
+    w1 = []
+    for d, f in enumerate(fracs):
+        base = jnp.clip(jnp.floor(f), 0, dims[d] - 2).astype(jnp.int32)
+        i0.append(base)
+        w1.append(jnp.asarray(f, ireals) - base.astype(ireals))
+
+    strides = []
+    s = 1
+    for d in reversed(range(k)):
+        strides.insert(0, s)
+        s *= dims[d]
+
+    out = None
+    for corner in range(1 << k):
+        idx = 0
+        w = None
+        for d in range(k):
+            hi = (corner >> d) & 1
+            idx = idx + (i0[d] + hi) * strides[d]
+            wd = w1[d] if hi else (1.0 - w1[d])
+            w = wd if w is None else w * wd
+        vals = jnp.take(flat, idx, axis=0)  # B + C
+        contrib = vals * w[(...,) + (None,) * len(C)]
+        out = contrib if out is None else out + contrib
+    return out

@@ -1,0 +1,141 @@
+"""Batched transfer-coefficient lookups over whole grids.
+
+Parity: reference `src/optprop.F90` (`get_coeff_cube`:550 — LUT lookup,
+range clipping, sun-octant symmetry unfolding `dir3_to_diff*_coeff_symmetry`
+:1009-1120) and the per-cell dispatch `get_coeff` in
+`src/pprts_base.F90:1491-1544` (tauz/w0/aspect computation + clipping).
+
+TPU-first redesign: one call interpolates the coefficient blocks for every
+grid cell at once.  The per-solve sun angles (phi, theta) are constant, so
+the 6-D direct tables are first blended down to 4-D (bilinear in phi/theta)
+and then a single batched 4-D multilinear gather produces the
+(cell, src, dst) coefficient fields.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tenstream_tpu.core.types import ireals
+from tenstream_tpu.ops.interp import fractional_index, interp_multilinear
+from tenstream_tpu.optprop.lut import LUT
+from tenstream_tpu.streams import StreamScheme, get_scheme
+
+
+def _diff_dst_permutation(scheme: StreamScheme, switch_x: bool, switch_y: bool) -> np.ndarray:
+    """Destination permutation unfolding the LUT's canonical sun octant.
+
+    Parity: `dir3_to_diff10_coeff_symmetry` etc. (`src/optprop.F90:1009`):
+    swap the side-stream destination pairs on the switched axis.
+    """
+    perm = np.arange(scheme.ndiff)
+    nt, ns = scheme.difftop.dof, scheme.diffside.dof
+    if switch_x:
+        blk = perm[nt : nt + ns].reshape(-1, 2)[:, ::-1].ravel()
+        perm[nt : nt + ns] = blk
+    if switch_y:
+        blk = perm[nt + ns : nt + 2 * ns].reshape(-1, 2)[:, ::-1].ravel()
+        perm[nt + ns : nt + 2 * ns] = blk
+    return perm
+
+
+class OptProp:
+    """Device-resident coefficient tables for one scheme."""
+
+    def __init__(self, lut: LUT, scheme: StreamScheme | None = None):
+        self.lut = lut
+        self.scheme = scheme or get_scheme(lut.scheme)
+        self._dir2dir = jnp.asarray(lut.dir2dir, ireals)
+        self._dir2diff = jnp.asarray(lut.dir2diff, ireals)
+        self._diff2diff = jnp.asarray(lut.diff2diff, ireals)
+        self._dir_grids = tuple(
+            jnp.asarray(a, ireals)
+            for a in (lut.dir_axes.tau, lut.dir_axes.w0, lut.dir_axes.aspect, lut.dir_axes.g)
+        )
+        self._phi_grid = jnp.asarray(lut.dir_axes.phi, ireals)
+        self._theta_grid = jnp.asarray(lut.dir_axes.theta, ireals)
+        self._diff_grids = tuple(
+            jnp.asarray(a, ireals)
+            for a in (lut.diff_axes.tau, lut.diff_axes.w0, lut.diff_axes.aspect, lut.diff_axes.g)
+        )
+
+    # ------------------------------------------------------------------
+    def _slice_angles(self, table, phi_deg, theta_deg):
+        """Bilinear blend of the (phi, theta) axes -> 4-D table."""
+        fp = fractional_index(self._phi_grid, jnp.asarray(phi_deg, ireals))
+        ft = fractional_index(self._theta_grid, jnp.asarray(theta_deg, ireals))
+        ip = jnp.clip(jnp.floor(fp), 0, self._phi_grid.shape[0] - 2).astype(jnp.int32)
+        it = jnp.clip(jnp.floor(ft), 0, self._theta_grid.shape[0] - 2).astype(jnp.int32)
+        wp = fp - ip
+        wt = ft - it
+        t00 = table[:, :, :, :, ip, it]
+        t10 = table[:, :, :, :, ip + 1, it]
+        t01 = table[:, :, :, :, ip, it + 1]
+        t11 = table[:, :, :, :, ip + 1, it + 1]
+        return (
+            t00 * (1 - wp) * (1 - wt)
+            + t10 * wp * (1 - wt)
+            + t01 * (1 - wp) * wt
+            + t11 * wp * wt
+        )
+
+    def _fracs(self, grids, tauz, w0, aspect, g):
+        return (
+            fractional_index(grids[0], tauz),
+            fractional_index(grids[1], w0),
+            fractional_index(grids[2], aspect),
+            fractional_index(grids[3], g),
+        )
+
+    # ------------------------------------------------------------------
+    def dir_coeffs(
+        self,
+        tauz,
+        w0,
+        g,
+        aspect,
+        phi_deg,
+        theta_deg,
+        switch_x: bool = False,
+        switch_y: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(dir2dir, dir2diff) with shapes B+(ndir,ndir) and B+(ndir,ndiff).
+
+        phi_deg is the symmetry azimuth in [0, 90]; switch_x/switch_y
+        unfold the actual sun octant (reference `lswitch_east/north`).
+        """
+        t2d = self._slice_angles(self._dir2dir, phi_deg, theta_deg)
+        t2f = self._slice_angles(self._dir2diff, phi_deg, theta_deg)
+        fr = self._fracs(self._dir_grids, tauz, w0, aspect, g)
+        ndir, ndiff = self.scheme.ndir, self.scheme.ndiff
+        c_dd = interp_multilinear(t2d.reshape(t2d.shape[:4] + (ndir * ndir,)), fr)
+        c_df = interp_multilinear(t2f.reshape(t2f.shape[:4] + (ndir * ndiff,)), fr)
+        c_dd = c_dd.reshape(c_dd.shape[:-1] + (ndir, ndir))
+        c_df = c_df.reshape(c_df.shape[:-1] + (ndir, ndiff))
+        if switch_x or switch_y:
+            perm = _diff_dst_permutation(self.scheme, switch_x, switch_y)
+            c_df = c_df[..., :, perm]
+        return c_dd, c_df
+
+    def diff_coeffs(self, tauz, w0, g, aspect) -> jnp.ndarray:
+        """diff2diff with shape B + (ndiff, ndiff)."""
+        fr = self._fracs(self._diff_grids, tauz, w0, aspect, g)
+        nd = self.scheme.ndiff
+        tbl = self._diff2diff.reshape(self._diff2diff.shape[:4] + (nd * nd,))
+        c = interp_multilinear(tbl, fr)
+        return c.reshape(c.shape[:-1] + (nd, nd))
+
+
+def check_energy_conservation(coeff_src_dst: jnp.ndarray, extra=None, tol: float = 1e-3) -> jnp.ndarray:
+    """Row sums (over dst) must not exceed 1 (+MC noise).
+
+    Parity: reference `src/optprop_LUT.F90:1489-1504`.
+    Returns the per-src max violation.
+    """
+    total = coeff_src_dst.sum(-1)
+    if extra is not None:
+        total = total + extra.sum(-1)
+    return jnp.maximum(total - 1.0, 0.0).max()
