@@ -32,6 +32,12 @@ from tenstream_tpu.boxmc.schemes import BoxScheme, get_box_scheme
 
 _WEIGHT_ROULETTE = 1e-4
 _ROULETTE_SURVIVE = 0.5
+# scatter-count roulette: beyond this many scatters, photons survive each
+# further scatter with this probability (weight-compensated, unbiased);
+# bounds the walk length in optically thick conservative boxes where the
+# weight-based roulette never triggers.
+_SCATTER_ROULETTE_AFTER = 100
+_SCATTER_SURVIVE = 0.98
 _BIG = 1e30
 
 
@@ -208,7 +214,7 @@ def run_boxmc(
 
     weights = jnp.ones((n_photons,), jnp.float32)
     alive = jnp.ones((n_photons,), bool)
-    scattered = jnp.zeros((n_photons,), bool)
+    scattered = jnp.zeros((n_photons,), jnp.int32)
 
     dir_table = jnp.asarray(scheme.dir_dst_by_face, jnp.int32)
     diff_table = jnp.asarray(scheme.diff_dst_by_face_zsign, jnp.int32)  # (6,2)
@@ -249,8 +255,8 @@ def run_boxmc(
         if ldir:
             dir_dst = dir_table[face]
             dir_dst = jnp.where(dir_dst < 0, scheme.ndir, dir_dst)
-            as_direct = exiting & (~scattered)
-            as_diffuse = exiting & scattered
+            as_direct = exiting & (scattered == 0)
+            as_diffuse = exiting & (scattered > 0)
             T = T.at[jnp.where(as_direct, dir_dst, scheme.ndir)].add(
                 jnp.where(as_direct, weights, 0.0)
             )
@@ -268,7 +274,7 @@ def run_boxmc(
         sphi = jax.random.uniform(kphi, (n_photons,)) * (2.0 * jnp.pi)
         new_dirs = _rotate_about(dirs, ct, sphi)
         dirs = jnp.where(scattering[..., None], new_dirs, dirs)
-        scattered = scattered | scattering
+        scattered = scattered + scattering.astype(jnp.int32)
         alive = alive & (~exiting)
 
         # Russian roulette on low weights (reference `roulette`:682)
@@ -276,6 +282,12 @@ def run_boxmc(
         surv = jax.random.uniform(krou, (n_photons,)) < _ROULETTE_SURVIVE
         weights = jnp.where(low & surv, weights / _ROULETTE_SURVIVE, weights)
         alive = alive & ((~low) | surv)
+
+        # scatter-count roulette for thick conservative media
+        long_walk = scattering & (scattered > _SCATTER_ROULETTE_AFTER)
+        surv2 = jax.random.uniform(jax.random.fold_in(krou, 1), (n_photons,)) < _SCATTER_SURVIVE
+        weights = jnp.where(long_walk & surv2, weights / _SCATTER_SURVIVE, weights)
+        alive = alive & ((~long_walk) | surv2)
 
         return (i + 1, key, pos, dirs, alive, scattered, weights, T, S)
 

@@ -68,6 +68,7 @@ class LUTAxes:
     def cache_key(self, scheme: str, kind: str, n_photons: int) -> str:
         h = hashlib.sha1()
         payload = {
+            "version": _CACHE_VERSION,
             "scheme": scheme,
             "kind": kind,
             "n_photons": n_photons,
@@ -79,6 +80,88 @@ class LUTAxes:
         }
         h.update(json.dumps(payload).encode())
         return h.hexdigest()[:16]
+
+
+_CACHE_VERSION = 2  # bump when table generation/symmetrization changes
+
+
+# ---------------------------------------------------------------------------
+# Symmetrization: average MC tables over the cube's symmetry group.
+# Physically exact for dx == dy cells (which the reference asserts,
+# `src/pprts.F90:459`) and reduces MC variance by the group order; it also
+# makes the mirror/rotation solver symmetries exact (tested by
+# test_mirror_symmetry_exact / test_azimuth_symmetry).
+# Diffuse-dof permutations per scheme: x-mirror, y-mirror, z-mirror,
+# x<->y exchange (the latter pairs with the LUT's phi -> 90-phi mirror for
+# the direct tables).
+# ---------------------------------------------------------------------------
+
+_DIFF_PERMS = {
+    "3_10": dict(
+        mx=[0, 1, 3, 2, 5, 4, 6, 7, 8, 9],
+        my=[0, 1, 2, 3, 4, 5, 7, 6, 9, 8],
+        mz=[1, 0, 4, 5, 2, 3, 8, 9, 6, 7],
+        mxy=[0, 1, 6, 7, 8, 9, 2, 3, 4, 5],
+    ),
+    "3_6": dict(
+        mx=[0, 1, 3, 2, 4, 5],
+        my=[0, 1, 2, 3, 5, 4],
+        mz=[1, 0, 2, 3, 4, 5],
+        mxy=[0, 1, 4, 5, 2, 3],
+    ),
+    "1_2": dict(mx=[0, 1], my=[0, 1], mz=[1, 0], mxy=[0, 1]),
+}
+_DIR_PERM_XY = {"3_10": [0, 2, 1], "3_6": [0, 2, 1], "1_2": [0]}
+
+
+def _perm_group(perms):
+    """Closure of the given permutations under composition."""
+    import itertools
+
+    n = len(perms[0])
+    ident = tuple(range(n))
+    group = {ident}
+    frontier = [tuple(p) for p in perms]
+    while frontier:
+        new = []
+        for p in frontier:
+            if p in group:
+                continue
+            group.add(p)
+            for q in list(group):
+                for a, b in ((p, q), (q, p)):
+                    c = tuple(a[i] for i in b)
+                    if c not in group:
+                        new.append(c)
+        frontier = new
+    return [np.asarray(p) for p in sorted(group)]
+
+
+def symmetrize_tables(scheme: str, dir2dir, dir2diff, diff2diff, phi_grid):
+    """Average the tables over the cube symmetry group (see above)."""
+    if scheme not in _DIFF_PERMS:
+        return dir2dir, dir2diff, diff2diff
+    p = _DIFF_PERMS[scheme]
+
+    # diffuse: full group from x/y/z mirrors and the x<->y exchange
+    group = _perm_group([p["mx"], p["my"], p["mz"], p["mxy"]])
+    acc = np.zeros_like(diff2diff)
+    for g in group:
+        acc += diff2diff[..., g, :][..., :, g]
+    diff2diff = acc / len(group)
+
+    # direct tables: phi -> 90 - phi pairs with the x<->y exchange,
+    # valid when the phi axis is mirror-symmetric about 45 deg.
+    if np.allclose(phi_grid + phi_grid[::-1], 90.0, atol=1e-3):
+        pd = np.asarray(_DIR_PERM_XY[scheme])
+        pf = np.asarray(p["mxy"])
+        dd_m = dir2dir[:, :, :, :, ::-1][..., pd, :][..., :, pd]
+        df_m = dir2diff[:, :, :, :, ::-1][..., pd, :][..., :, pf]
+        dir2dir = 0.5 * (dir2dir + dd_m)
+        dir2diff = 0.5 * (dir2diff + df_m)
+        # additionally, the canonical octant keeps a y-mirror when phi=90
+        # and an x-mirror when phi=0; skipped (single-slice effect only).
+    return dir2dir, dir2diff, diff2diff
 
 
 def default_axes(direct: bool) -> LUTAxes:
@@ -120,7 +203,7 @@ class LUT:
     diff2diff: np.ndarray
 
     def save(self, path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.savez_compressed(
             path,
             scheme=self.scheme,
@@ -220,6 +303,7 @@ def create_lut(
 
     def _ckpt():
         if checkpoint_path:
+            os.makedirs(os.path.dirname(os.path.abspath(checkpoint_path)), exist_ok=True)
             np.savez_compressed(checkpoint_path, dir2dir=dir2dir, dir2diff=dir2diff, diff2diff=diff2diff)
 
     ck = None
@@ -247,6 +331,9 @@ def create_lut(
             print(f"[lut:{scheme}] diffuse src {src + 1}/{box.ndiff} done")
         _ckpt()
 
+    dir2dir, dir2diff, diff2diff = symmetrize_tables(
+        scheme, dir2dir, dir2diff, diff2diff, np.asarray(dir_axes.phi)
+    )
     return LUT(scheme, dir_axes, diff_axes, dir2dir, dir2diff, diff2diff)
 
 

@@ -1,0 +1,173 @@
+"""Matrix-free stream-transport operators (gather -> block matvec -> scatter).
+
+Parity: these are the stencil operators that the reference assembles into
+PETSc AIJ matrices (`set_dir_coeff`/`set_diff_coeff`,
+`src/pprts.F90:4493,5511`) and applies matrix-free in
+`src/pprts_shell.F90` (`op_mat_mult_ediff`:366) and the explicit SOR sweep
+(`src/pprts_explicit.F90:849-1015`).
+
+TPU-first redesign: instead of per-cell scalar loops over (src, dst)
+pairs, whole-grid shifted views feed one einsum per operator application —
+a fused gather / dense-block-matvec / scatter.  Horizontal periodicity is
+expressed with `jnp.roll`, which GSPMD lowers to collective-permutes of
+the shard halo when x/y are sharded over a device mesh (this replaces the
+reference's hand-rolled MPI Isend/Irecv halo exchange,
+`src/pprts_explicit.F90:232-328,715-848`).
+
+Conventions (see `grid.py`): stream fields (ndof, Nz+1, Nx, Ny) are
+face-indexed; coeff fields (nsrc, ndst, Nz, Nx, Ny) are cell-indexed.
+`is_inward` means +z (down) / +x / +y.  The albedo closure row
+(Eup_sfc = albedo * Edn_sfc, reference `set_albedo_coeff`:5755) is part
+of `diffuse_apply`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tenstream_tpu.streams import StreamScheme
+
+
+def gather_diff_src(scheme: StreamScheme, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell source values for every diffuse dof.
+
+    x: (ndiff, Nz+1, Nx, Ny) face-indexed -> (ndiff, Nz, Nx, Ny)
+    cell-indexed entry values (reference `msrc` logic,
+    `src/pprts_explicit.F90:913-926`).
+    """
+    axis = scheme.diff_axis()
+    inward = scheme.diff_inward()
+    rows = []
+    for d in range(scheme.ndiff):
+        v = x[d]
+        if axis[d] == 0:
+            rows.append(v[:-1] if inward[d] else v[1:])
+        elif axis[d] == 1:
+            # inward (+x): enters cell i via face i; outward: via face i+1
+            rows.append(v[:-1] if inward[d] else jnp.roll(v[:-1], -1, axis=1))
+        else:
+            rows.append(v[:-1] if inward[d] else jnp.roll(v[:-1], -1, axis=2))
+    return jnp.stack(rows, axis=0)
+
+
+def scatter_diff_dst(scheme: StreamScheme, contrib: jnp.ndarray, nz: int) -> jnp.ndarray:
+    """Scatter per-cell destination contributions onto face-indexed arrays.
+
+    contrib: (ndiff, Nz, Nx, Ny) cell-indexed -> (ndiff, Nz+1, Nx, Ny)
+    (reference `mdst` logic, `src/pprts_explicit.F90:910,933,956`).
+    """
+    axis = scheme.diff_axis()
+    inward = scheme.diff_inward()
+    out_rows = []
+    zeros_level = jnp.zeros_like(contrib[0, :1])
+    for d in range(scheme.ndiff):
+        c = contrib[d]
+        if axis[d] == 0:
+            row = (
+                jnp.concatenate([zeros_level, c], axis=0)
+                if inward[d]
+                else jnp.concatenate([c, zeros_level], axis=0)
+            )
+        elif axis[d] == 1:
+            c2 = jnp.roll(c, 1, axis=1) if inward[d] else c
+            row = jnp.concatenate([c2, zeros_level], axis=0)
+        else:
+            c2 = jnp.roll(c, 1, axis=2) if inward[d] else c
+            row = jnp.concatenate([c2, zeros_level], axis=0)
+        out_rows.append(row)
+    return jnp.stack(out_rows, axis=0)
+
+
+def diffuse_scatter(
+    scheme: StreamScheme,
+    coeff: jnp.ndarray,
+    x: jnp.ndarray,
+    albedo2d: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """S(x): one application of the diffuse transport scatter.
+
+    coeff: (ndiff, ndiff, Nz, Nx, Ny) [src, dst]; x: (ndiff, Nz+1, Nx, Ny).
+    Returns the same shape as x.  With `albedo2d` (Nx, Ny), includes the
+    surface reflection closure.
+    """
+    src = gather_diff_src(scheme, x)
+    contrib = jnp.einsum("sdkij,skij->dkij", coeff, src)
+    out = scatter_diff_dst(scheme, contrib, x.shape[1] - 1)
+
+    if albedo2d is not None:
+        inward = scheme.diff_inward()
+        ntop = scheme.difftop.dof
+        dn = [d for d in range(ntop) if inward[d]]
+        up = [d for d in range(ntop) if not inward[d]]
+        edn_sfc = sum(x[d, -1] for d in dn) / scheme.difftop_streams
+        for d in up:
+            out = out.at[d, -1].add(albedo2d * edn_sfc)
+    return out
+
+
+def gather_dir_src(
+    scheme: StreamScheme, e: jnp.ndarray, xinc: int, yinc: int
+) -> jnp.ndarray:
+    """Per-cell source values for every direct dof.
+
+    e: (ndir, Nz+1, Nx, Ny) face-indexed direct radiation; side dofs of
+    cell (k,i,j) enter via the upwind face (reference
+    `src/pprts_explicit.F90:407,411`: src x at i+1-xinc, y at j+1-yinc;
+    face-indexed that is face i for xinc=1, face i+1 for xinc=0).
+    """
+    axis = scheme.dir_axis()
+    rows = []
+    for s in range(scheme.ndir):
+        v = e[s]
+        if axis[s] == 0:
+            rows.append(v[:-1])
+        elif axis[s] == 1:
+            rows.append(v[:-1] if xinc == 1 else jnp.roll(v[:-1], -1, axis=1))
+        else:
+            rows.append(v[:-1] if yinc == 1 else jnp.roll(v[:-1], -1, axis=2))
+    return jnp.stack(rows, axis=0)
+
+
+def dir2diff_source(
+    scheme: StreamScheme,
+    dir2diff: jnp.ndarray,
+    edir: jnp.ndarray,
+    xinc: int,
+    yinc: int,
+) -> jnp.ndarray:
+    """Diffuse source from scattered direct radiation.
+
+    Parity: `set_solar_source` (`src/pprts.F90:4684-4846`): the dir2diff
+    block maps per-cell direct sources onto diffuse destination faces.
+    dir2diff: (ndir, ndiff, Nz, Nx, Ny); edir: (ndir, Nz+1, Nx, Ny) [W].
+    Returns b: (ndiff, Nz+1, Nx, Ny) [W].
+    """
+    src = gather_dir_src(scheme, edir, xinc, yinc)
+    contrib = jnp.einsum("sdkij,skij->dkij", dir2diff, src)
+    return scatter_diff_dst(scheme, contrib, edir.shape[1] - 1)
+
+
+def direct_surface_reflection(
+    scheme: StreamScheme, edir: jnp.ndarray, albedo2d: jnp.ndarray
+) -> jnp.ndarray:
+    """b contribution: ground albedo reflecting the direct beam into the
+    upward diffuse dofs (reference `src/pprts.F90:4830-4845`)."""
+    ntop_dir = scheme.dirtop.dof
+    inward = scheme.diff_inward()
+    edir_sfc = edir[:ntop_dir, -1].sum(axis=0)
+    b = jnp.zeros(
+        (scheme.ndiff,) + edir.shape[1:], dtype=edir.dtype
+    )
+    for d in range(scheme.difftop.dof):
+        if not inward[d]:
+            b = b.at[d, -1].add(edir_sfc * albedo2d / scheme.difftop_streams)
+    return b
+
+
+def residual_norm(x_new: jnp.ndarray, x_old: jnp.ndarray) -> jnp.ndarray:
+    """Mean L2 norm of the update (reference convergence measure,
+    `src/pprts_explicit.F90:176-189`)."""
+    return jnp.linalg.norm((x_new - x_old).ravel())

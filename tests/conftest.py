@@ -27,3 +27,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def opp_small():
+    """Small disk-cached LUT for solver-level tests (the `LUT_mockup`
+    equivalent, reference `src/optprop_base.F90:453-486`)."""
+    from tenstream_tpu.optprop.facade import OptProp
+    from tenstream_tpu.optprop.lut import load_or_create_lut, mockup_axes
+
+    lut = load_or_create_lut(
+        "3_10", mockup_axes(True), mockup_axes(False), n_photons=2000,
+        basename=os.path.join(os.path.dirname(__file__), "data", "luts"),
+    )
+    return OptProp(lut)

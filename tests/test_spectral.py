@@ -1,0 +1,87 @@
+"""Spectral integration tests.
+
+Parity: reference `tests/test_pprts_specint/` (regression of full-spectrum
+LW/SW fluxes) and `test_pprts_rrtm_lw_sw` invariants (positive fluxes,
+sane heating rates, TOA balance).
+"""
+
+import numpy as np
+import pytest
+
+from tenstream_tpu.atm import abso2hr, setup_standard_atmosphere, us_standard_atmosphere
+from tenstream_tpu.core.types import SOLAR_CONSTANT, STEFAN_BOLTZMANN
+
+
+def test_ussa76_values():
+    atm = us_standard_atmosphere(np.array([0.0, 11000.0, 20000.0, 47000.0]))
+    np.testing.assert_allclose(atm["p"][0], 101325.0, rtol=1e-6)
+    np.testing.assert_allclose(atm["T"][0], 288.15, rtol=1e-6)
+    np.testing.assert_allclose(atm["T"][1], 216.65, rtol=1e-3)
+    np.testing.assert_allclose(atm["p"][1], 22632.0, rtol=1e-2)
+    np.testing.assert_allclose(atm["p"][2], 5474.9, rtol=1e-2)
+
+
+def test_standard_atmosphere_setup():
+    atm = setup_standard_atmosphere(nlay=20)
+    assert atm.nlay == 20
+    assert atm.plev[0] < atm.plev[-1]  # TOA -> surface ordering
+    assert (atm.dz > 0).all()
+    assert atm.gases["h2o"].max() < 0.05
+
+
+@pytest.mark.parametrize("specint", ["gray", "synthck"])
+def test_specint_clear_sky(specint, opp_small):
+    import jax.numpy as jnp
+
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral import specint_pprts
+
+    nlay, nx, ny = 10, 4, 4
+    atm = setup_standard_atmosphere(nlay=nlay, ztop=25e3)
+    grid = Grid.create(nlay, nx, ny, 500.0, 500.0, atm.dz.astype(np.float32))
+    solver = PprtsSolver(grid, opp_small)
+    solver.set_angles(sundir_from_angles(20.0, 30.0))
+
+    res = specint_pprts(
+        solver, atm, albedo=0.2, lthermal=True, lsolar=True,
+        specint=specint, band_chunk=8,
+    )
+    edir, edn, eup, abso = map(np.asarray, res)
+
+    # solar direct at TOA bounded by the solar constant
+    mu = np.cos(np.deg2rad(30.0))
+    assert 0 < edir[0].mean() <= SOLAR_CONSTANT * mu * 1.01
+    assert edir[-1].mean() < edir[0].mean()
+    # upwelling LW at TOA within physical bounds (OLR-ish)
+    assert 30.0 < eup[0].mean() < STEFAN_BOLTZMANN * 300.0**4
+    # heating rates are finite and within a plausible magnitude
+    hr = np.asarray(abso2hr(jnp.asarray(abso), atm.play[:, None, None], atm.tlay[:, None, None]))
+    assert np.isfinite(hr).all()
+    assert np.abs(hr).max() < 100.0  # K/day
+
+
+def test_specint_cloud_effect(opp_small):
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral import specint_pprts
+
+    nlay, nx, ny = 10, 4, 4
+    atm = setup_standard_atmosphere(nlay=nlay, ztop=25e3)
+    grid = Grid.create(nlay, nx, ny, 500.0, 500.0, atm.dz.astype(np.float32))
+    solver = PprtsSolver(grid, opp_small)
+    solver.set_angles(sundir_from_angles(0.0, 20.0))
+
+    clear = specint_pprts(solver, atm, 0.2, lthermal=False, lsolar=True, specint="gray")
+
+    lwc = np.zeros((nlay, nx, ny), np.float32)
+    lwc[6] = 0.3  # stratus-ish layer
+    solver2 = PprtsSolver(grid, opp_small)
+    solver2.set_angles(sundir_from_angles(0.0, 20.0))
+    cloudy = specint_pprts(solver2, atm, 0.2, lthermal=False, lsolar=True, specint="gray", lwc=lwc)
+
+    # cloud reflects: more TOA upwelling, less surface direct
+    assert np.asarray(cloudy.eup)[0].mean() > np.asarray(clear.eup)[0].mean() * 1.5
+    assert np.asarray(cloudy.edir)[-1].mean() < np.asarray(clear.edir)[-1].mean() * 0.5
