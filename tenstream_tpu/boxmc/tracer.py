@@ -5,19 +5,26 @@ Parity: reference `src/boxmc.F90` (`t_boxmc%get_coeff`:395,
 Henyey-Greenstein sampling `hengreen`:819, `roulette`:682) and
 `src/boxmc_geometry.F90` (cube intersections).
 
-TPU-first redesign: instead of per-photon recursion, the whole photon
-batch advances in lockstep inside a `lax.while_loop` with alive masks —
-every step is a fused vector op over N photons.  Absorption uses implicit
-capture (weight *= exp(-kabs * pathlength), scattering-only free paths),
-which has lower variance than the reference's analog treatment; tallies
-therefore converge with fewer photons.
+TPU-first redesign: the whole photon batch advances in lockstep inside a
+`lax.while_loop` with alive masks — every step is a fused vector op over
+N photons.  Photon state is stored as SEPARATE (N,) coordinate arrays
+(structure-of-arrays): an (N, 3) layout would pad the 3-wide trailing dim
+to the 128-lane tile and waste ~40x of the VPU.
+
+Absorption uses implicit capture (weight *= exp(-kabs * pathlength) with
+scattering-only free paths) — lower variance than analog absorption, so
+tallies converge with fewer photons.  Low-weight photons die by Russian
+roulette (unbiased).  Walks in optically thick conservative media are
+truncated at `max_iter`; the surviving weight is redistributed onto the
+already-tallied diffuse exit distribution (self-normalized, keeps energy
+conservation exact; the reference instead biases via tau-scaling,
+`src/boxmc.F90` tau_scaling).
 
 Conventions (see `tenstream_tpu.boxmc.schemes`): box [0,dx]x[0,dy]x[0,dz],
 z is altitude, canonical sun octant (+x, +y, -z).
 
-Outputs are (T, S): T[dst] fraction of injected power leaving as direct
-radiation into direct stream dst (only for direct sources), S[dst]
-fraction leaving as diffuse radiation into diffuse stream dst.
+Outputs are (T, S): per-destination fractions of the injected power
+leaving as direct (T, direct sources only) or diffuse (S) radiation.
 """
 
 from __future__ import annotations
@@ -32,12 +39,6 @@ from tenstream_tpu.boxmc.schemes import BoxScheme, get_box_scheme
 
 _WEIGHT_ROULETTE = 1e-4
 _ROULETTE_SURVIVE = 0.5
-# scatter-count roulette: beyond this many scatters, photons survive each
-# further scatter with this probability (weight-compensated, unbiased);
-# bounds the walk length in optically thick conservative boxes where the
-# weight-based roulette never triggers.
-_SCATTER_ROULETTE_AFTER = 100
-_SCATTER_SURVIVE = 0.98
 _BIG = 1e30
 
 
@@ -51,45 +52,41 @@ def _hg_costheta(u, g):
     return jnp.clip(jnp.where(iso, ct_iso, ct_hg), -1.0, 1.0)
 
 
-def _rotate_about(dirs, ct, phi):
-    """New direction at angle acos(ct) from `dirs` with azimuth phi."""
+def _rotate_about(dx, dy, dz, ct, phi):
+    """New direction at angle acos(ct) from (dx,dy,dz) with azimuth phi."""
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    # build an orthonormal frame around the propagation direction
     denom = jnp.sqrt(jnp.maximum(1e-12, 1.0 - dz * dz))
     straight_up = jnp.abs(dz) > 0.99999
-    # u = normalized (d x z_hat), v = d x u
     ux = jnp.where(straight_up, 1.0, dy / denom)
     uy = jnp.where(straight_up, 0.0, -dx / denom)
-    uz = jnp.zeros_like(dz)
-    vx = uy * dz - uz * dy
-    vy = uz * dx - ux * dz
+    # v = d x u
+    vx = uy * dz
+    vy = -ux * dz
     vz = ux * dy - uy * dx
     cp, sp = jnp.cos(phi), jnp.sin(phi)
     nx = st * (cp * ux + sp * vx) + ct * dx
     ny = st * (cp * uy + sp * vy) + ct * dy
-    nz = st * (cp * uz + sp * vz) + ct * dz
-    out = jnp.stack([nx, ny, nz], axis=-1)
-    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+    nz = st * sp * vz + ct * dz
+    norm = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+    return nx / norm, ny / norm, nz / norm
 
 
-def _sample_on_face(key, face, dims, n):
+def _sample_on_face(key, face, bx, by, bz, n):
     """Uniform positions on a box face, nudged slightly inside."""
-    dx, dy, dz = dims
-    u = jax.random.uniform(key, (n, 2))
+    u1 = jax.random.uniform(key, (2, n))
     eps = 1e-6
-    x0 = u[:, 0] * dx
-    y0 = u[:, 1] * dy
-    zl = u[:, 0] * dz
-    pos = {
-        0: jnp.stack([x0, y0, jnp.full((n,), dz * (1 - eps))], -1),
-        1: jnp.stack([x0, y0, jnp.full((n,), dz * eps)], -1),
-        2: jnp.stack([jnp.full((n,), dx * eps), y0, zl], -1),
-        3: jnp.stack([jnp.full((n,), dx * (1 - eps)), y0, zl], -1),
-        4: jnp.stack([x0, jnp.full((n,), dy * eps), zl], -1),
-        5: jnp.stack([x0, jnp.full((n,), dy * (1 - eps)), zl], -1),
-    }[face]
-    return pos
+    u, v = u1[0], u1[1]
+    if face == 0:
+        return u * bx, v * by, jnp.full((n,), bz * (1 - eps))
+    if face == 1:
+        return u * bx, v * by, jnp.full((n,), bz * eps)
+    if face == 2:
+        return jnp.full((n,), bx * eps), v * by, u * bz
+    if face == 3:
+        return jnp.full((n,), bx * (1 - eps)), v * by, u * bz
+    if face == 4:
+        return u * bx, jnp.full((n,), by * eps), v * bz
+    return u * bx, jnp.full((n,), by * (1 - eps)), v * bz
 
 
 def _sample_lambertian(key, face, zsign, n):
@@ -98,56 +95,53 @@ def _sample_lambertian(key, face, zsign, n):
 
     Reference: `init_diff_photon_3_10` samples mu = sqrt(R) about the
     face normal (`src/boxmc_3_10.inc:191`) with azimuth windows selecting
-    the hemisphere (:244-254); restricting by flipping the z-component is
-    the same distribution.
+    the hemisphere (:244-254); flipping the z component gives the same
+    restricted distribution.
     """
     k1, k2 = jax.random.split(key)
     mu = jnp.sqrt(jax.random.uniform(k1, (n,)))
     phi = jax.random.uniform(k2, (n,)) * (2.0 * jnp.pi)
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
-    a = st * jnp.cos(phi)  # first tangent component
-    b = st * jnp.sin(phi)  # second tangent component
-    z = jnp.zeros((n,))
-    if face == 0:  # TOP, inward -z
-        d = jnp.stack([a, b, -mu], -1)
-    elif face == 1:  # BOT, inward +z
-        d = jnp.stack([a, b, mu], -1)
-    elif face == 2:  # XMIN, inward +x; tangents (y, z)
-        d = jnp.stack([mu, a, b], -1)
-    elif face == 3:  # XMAX, inward -x
-        d = jnp.stack([-mu, a, b], -1)
-    elif face == 4:  # YMIN, inward +y
-        d = jnp.stack([a, mu, b], -1)
-    else:  # YMAX, inward -y
-        d = jnp.stack([a, -mu, b], -1)
-    del z
+    a = st * jnp.cos(phi)
+    b = st * jnp.sin(phi)
+    if face == 0:
+        d = (a, b, -mu)
+    elif face == 1:
+        d = (a, b, mu)
+    elif face == 2:
+        d = (mu, a, b)
+    elif face == 3:
+        d = (-mu, a, b)
+    elif face == 4:
+        d = (a, mu, b)
+    else:
+        d = (a, -mu, b)
+    dx, dy, dz = d
     if zsign != 0:
-        zc = d[..., 2]
-        zc = jnp.where(zsign > 0, jnp.abs(zc), -jnp.abs(zc))
-        d = d.at[..., 2].set(zc)
-    return d
+        dz = jnp.where(zsign > 0, jnp.abs(dz), -jnp.abs(dz))
+    return dx, dy, dz
 
 
-def _exit_face(pos, dirs, dims):
+def _exit_face(px, py, pz, dx, dy, dz, bx, by, bz):
     """Distance to the box boundary and the face id that is hit."""
-    dx, dy, dz = dims
-    lo = jnp.zeros((3,))
-    hi = jnp.stack([dx, dy, dz])
-    d_safe = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
-    bound = jnp.where(dirs > 0, hi, lo)
-    t = (bound - pos) / d_safe
-    t = jnp.where(jnp.abs(dirs) < 1e-12, _BIG, jnp.maximum(t, 0.0))
-    axis = jnp.argmin(t, axis=-1)
-    tmin = jnp.min(t, axis=-1)
-    sign_pos = jnp.take_along_axis(dirs, axis[..., None], axis=-1)[..., 0] > 0
-    # faces: axis 0 -> XMIN/XMAX(2/3), axis 1 -> YMIN/YMAX(4/5), axis 2 -> BOT/TOP(1/0)
+
+    def axis_t(p, d, hi):
+        d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        bound = jnp.where(d > 0, hi, 0.0)
+        t = (bound - p) / d_safe
+        return jnp.where(jnp.abs(d) < 1e-12, _BIG, jnp.maximum(t, 0.0))
+
+    tx = axis_t(px, dx, bx)
+    ty = axis_t(py, dy, by)
+    tz = axis_t(pz, dz, bz)
+    tmin = jnp.minimum(tx, jnp.minimum(ty, tz))
     face = jnp.where(
-        axis == 0,
-        jnp.where(sign_pos, 3, 2),
+        tmin == tz,
+        jnp.where(dz > 0, 0, 1),
         jnp.where(
-            axis == 1,
-            jnp.where(sign_pos, 5, 4),
-            jnp.where(sign_pos, 0, 1),
+            tmin == tx,
+            jnp.where(dx > 0, 3, 2),
+            jnp.where(dy > 0, 5, 4),
         ),
     )
     return tmin, face
@@ -178,15 +172,10 @@ def run_boxmc(
     the injected power (reference `t_boxmc%get_coeff`, `src/boxmc.F90:395`).
     """
     scheme = get_box_scheme(scheme_name)
-    dims = jnp.stack(
-        [
-            jnp.asarray(1.0),
-            jnp.asarray(1.0),
-            jnp.maximum(jnp.asarray(aspect, jnp.float32), 1e-6),
-        ]
-    )
-    dz = dims[2]
-    kext = jnp.asarray(tauz, jnp.float32) / dz
+    bx = jnp.asarray(1.0, jnp.float32)
+    by = jnp.asarray(1.0, jnp.float32)
+    bz = jnp.maximum(jnp.asarray(aspect, jnp.float32), 1e-6)
+    kext = jnp.asarray(tauz, jnp.float32) / bz
     w0 = jnp.asarray(w0, jnp.float32)
     g = jnp.asarray(g, jnp.float32)
     ksca = w0 * kext
@@ -196,25 +185,23 @@ def run_boxmc(
 
     if ldir:
         face = scheme.dir_src_faces[src]
-        pos = _sample_on_face(kpos, face, dims, n_photons)
+        px, py, pz = _sample_on_face(kpos, face, bx, by, bz, n_photons)
         phi = jnp.deg2rad(jnp.asarray(phi_deg, jnp.float32))
         theta = jnp.deg2rad(jnp.asarray(theta_deg, jnp.float32))
-        sundir = jnp.stack(
-            [
-                jnp.sin(phi) * jnp.sin(theta),
-                jnp.cos(phi) * jnp.sin(theta),
-                -jnp.cos(theta),
-            ]
-        )
-        dirs = jnp.broadcast_to(sundir, (n_photons, 3))
+        sx = jnp.sin(phi) * jnp.sin(theta)
+        sy = jnp.cos(phi) * jnp.sin(theta)
+        sz = -jnp.cos(theta)
+        dx = jnp.full((n_photons,), sx)
+        dy = jnp.full((n_photons,), sy)
+        dz = jnp.full((n_photons,), sz)
     else:
         spec = scheme.diff_srcs[src]
-        pos = _sample_on_face(kpos, spec.face, dims, n_photons)
-        dirs = _sample_lambertian(kdir, spec.face, spec.zsign, n_photons)
+        px, py, pz = _sample_on_face(kpos, spec.face, bx, by, bz, n_photons)
+        dx, dy, dz = _sample_lambertian(kdir, spec.face, spec.zsign, n_photons)
 
     weights = jnp.ones((n_photons,), jnp.float32)
     alive = jnp.ones((n_photons,), bool)
-    scattered = jnp.zeros((n_photons,), jnp.int32)
+    scattered = jnp.zeros((n_photons,), bool)
 
     dir_table = jnp.asarray(scheme.dir_dst_by_face, jnp.int32)
     diff_table = jnp.asarray(scheme.diff_dst_by_face_zsign, jnp.int32)  # (6,2)
@@ -223,40 +210,39 @@ def run_boxmc(
     S0 = jnp.zeros((scheme.ndiff + 1,), jnp.float32)
 
     def cond(state):
-        i, _, _, _, alive, _, _, _, _ = state
-        return jnp.logical_and(i < max_iter, jnp.any(alive))
+        i, _, st, T, S = state
+        return jnp.logical_and(i < max_iter, jnp.any(st[7]))
 
     def body(state):
-        i, key, pos, dirs, alive, scattered, weights, T, S = state
+        i, key, st, T, S = state
+        px, py, pz, dx, dy, dz, weights, alive, scattered = st
         key, ks, kphi, kct, krou = jax.random.split(key, 5)
 
-        dmax, face = _exit_face(pos, dirs, dims)
+        dmax, face = _exit_face(px, py, pz, dx, dy, dz, bx, by, bz)
         u = jax.random.uniform(ks, (n_photons,), minval=1e-12)
         s_free = jnp.where(ksca > 1e-12, -jnp.log(u) / jnp.maximum(ksca, 1e-12), _BIG)
         travel = jnp.minimum(s_free, dmax)
         weights = weights * jnp.exp(-kabs * travel)
-        pos = pos + dirs * travel[..., None]
+        px = px + dx * travel
+        py = py + dy * travel
+        pz = pz + dz * travel
 
         hit_boundary = alive & (s_free >= dmax)
         if periodic_xy:
-            # horizontally-periodic column: side hits wrap around instead
-            # of exiting (gives the exact 1-D plane-parallel limit)
             side = (face >= 2) & hit_boundary
-            dx_, dy_ = dims[0], dims[1]
-            px = jnp.where(side & (face == 2), dx_, jnp.where(side & (face == 3), 0.0, pos[..., 0]))
-            py = jnp.where(side & (face == 4), dy_, jnp.where(side & (face == 5), 0.0, pos[..., 1]))
-            pos = pos.at[..., 0].set(px).at[..., 1].set(py)
+            px = jnp.where(side & (face == 2), bx, jnp.where(side & (face == 3), 0.0, px))
+            py = jnp.where(side & (face == 4), by, jnp.where(side & (face == 5), 0.0, py))
             exiting = hit_boundary & (face < 2)
         else:
             exiting = hit_boundary
-        # destination binning
-        up = dirs[..., 2] > 0
+
+        up = dz > 0
         diff_dst = diff_table[face, up.astype(jnp.int32)]
         if ldir:
             dir_dst = dir_table[face]
             dir_dst = jnp.where(dir_dst < 0, scheme.ndir, dir_dst)
-            as_direct = exiting & (scattered == 0)
-            as_diffuse = exiting & (scattered > 0)
+            as_direct = exiting & (~scattered)
+            as_diffuse = exiting & scattered
             T = T.at[jnp.where(as_direct, dir_dst, scheme.ndir)].add(
                 jnp.where(as_direct, weights, 0.0)
             )
@@ -268,13 +254,14 @@ def run_boxmc(
                 jnp.where(exiting, weights, 0.0)
             )
 
-        # scatter the survivors
         scattering = alive & (s_free < dmax)
         ct = _hg_costheta(jax.random.uniform(kct, (n_photons,)), g)
         sphi = jax.random.uniform(kphi, (n_photons,)) * (2.0 * jnp.pi)
-        new_dirs = _rotate_about(dirs, ct, sphi)
-        dirs = jnp.where(scattering[..., None], new_dirs, dirs)
-        scattered = scattered + scattering.astype(jnp.int32)
+        ndx, ndy, ndz = _rotate_about(dx, dy, dz, ct, sphi)
+        dx = jnp.where(scattering, ndx, dx)
+        dy = jnp.where(scattering, ndy, dy)
+        dz = jnp.where(scattering, ndz, dz)
+        scattered = scattered | scattering
         alive = alive & (~exiting)
 
         # Russian roulette on low weights (reference `roulette`:682)
@@ -283,16 +270,19 @@ def run_boxmc(
         weights = jnp.where(low & surv, weights / _ROULETTE_SURVIVE, weights)
         alive = alive & ((~low) | surv)
 
-        # scatter-count roulette for thick conservative media
-        long_walk = scattering & (scattered > _SCATTER_ROULETTE_AFTER)
-        surv2 = jax.random.uniform(jax.random.fold_in(krou, 1), (n_photons,)) < _SCATTER_SURVIVE
-        weights = jnp.where(long_walk & surv2, weights / _SCATTER_SURVIVE, weights)
-        alive = alive & ((~long_walk) | surv2)
+        st = (px, py, pz, dx, dy, dz, weights, alive, scattered)
+        return (i + 1, key, st, T, S)
 
-        return (i + 1, key, pos, dirs, alive, scattered, weights, T, S)
+    st0 = (px, py, pz, dx, dy, dz, weights, alive, scattered)
+    _, _, st, T, S = jax.lax.while_loop(cond, body, (0, kloop, st0, T0, S0))
 
-    state = (0, kloop, pos, dirs, alive, scattered, weights, T0, S0)
-    _, _, _, _, _, _, _, T, S = jax.lax.while_loop(cond, body, state)
+    # Truncated walks (max_iter reached in thick conservative media):
+    # redistribute the surviving weight onto the tallied diffuse exit
+    # distribution so energy is conserved.
+    leftover = jnp.sum(jnp.where(st[7], st[6], 0.0))
+    s_main = S[: scheme.ndiff]
+    s_sum = jnp.sum(s_main)
+    s_main = jnp.where(s_sum > 0, s_main * (1.0 + leftover / jnp.maximum(s_sum, 1e-30)), s_main)
 
     norm = 1.0 / float(n_photons)
-    return T[: scheme.ndir] * norm, S[: scheme.ndiff] * norm
+    return T[: scheme.ndir] * norm, s_main * norm

@@ -38,6 +38,74 @@ from tenstream_tpu.pprts.operators import diffuse_scatter
 from tenstream_tpu.streams import StreamScheme
 
 
+def vertical_line_solve(
+    scheme: StreamScheme,
+    coeff: jnp.ndarray,
+    r: jnp.ndarray,
+    albedo2d: jnp.ndarray,
+) -> jnp.ndarray:
+    """Solve M x = r where M keeps only the VERTICAL couplings of
+    (I - S): the difftop up/down pair per column (block-tridiagonal in z,
+    solved exactly by backward/forward scans — the same elimination as
+    the two-stream solver) plus the albedo closure row; side dofs are
+    identity.
+
+    This is the line-relaxation preconditioner: vertical transport
+    dominates the diffuse operator (the reference's strongest PC choices,
+    ILU/SOR on a z-major ordering, capture the same structure), so
+    M^-1-preconditioned Richardson converges in O(10) iterations where
+    plain Richardson needs hundreds.
+
+    Currently specialized to difftop.dof == 2 (one up/down pair); other
+    schemes fall back to identity (no preconditioning).
+    """
+    if scheme.difftop.dof != 2:
+        return r
+
+    inward = scheme.diff_inward()
+    d_up = 0 if not inward[0] else 1
+    d_dn = 1 - d_up
+
+    a_dn = coeff[d_dn, d_dn]  # (Nz, Nx, Ny): src Edn -> dst Edn
+    b_dn = coeff[d_up, d_dn]  # src Eup -> dst Edn
+    a_up = coeff[d_up, d_up]
+    b_up = coeff[d_dn, d_up]
+    r_dn = r[d_dn]  # (Nz+1, Nx, Ny)
+    r_up = r[d_up]
+
+    def back(carry, inp):
+        R_next, Q_next = carry
+        a_dn_k, b_dn_k, a_up_k, b_up_k, r_dn_k1, r_up_k = inp
+        D = 1.0 - b_dn_k * R_next
+        R = b_up_k + a_up_k * R_next * a_dn_k / D
+        Q = a_up_k * (R_next * (b_dn_k * Q_next + r_dn_k1) / D + Q_next) + r_up_k
+        return (R, Q), (R_next, Q_next, D)
+
+    (R0, Q0), (R_next, Q_next, D) = jax.lax.scan(
+        back,
+        (albedo2d, r_up[-1]),
+        (a_dn, b_dn, a_up, b_up, r_dn[1:], r_up[:-1]),
+        reverse=True,
+    )
+
+    def fwd(edn_k, inp):
+        a_dn_k, b_dn_k, Qn, Dk, r_dn_k1 = inp
+        edn_next = (a_dn_k * edn_k + b_dn_k * Qn + r_dn_k1) / Dk
+        return edn_next, edn_next
+
+    edn0 = r_dn[0]
+    _, Edn_rest = jax.lax.scan(fwd, edn0, (a_dn, b_dn, Q_next, D, r_dn[1:]))
+    Edn = jnp.concatenate([edn0[None], Edn_rest], axis=0)
+    R_all = jnp.concatenate([R0[None], R_next], axis=0)
+    Q_all = jnp.concatenate([Q0[None], Q_next], axis=0)
+    Eup = R_all * Edn + Q_all
+
+    x = r
+    x = x.at[d_dn].set(Edn)
+    x = x.at[d_up].set(Eup)
+    return x
+
+
 def default_tolerances(n_unknowns: int, unconstrained_fraction: float = 1.0):
     """Parity: `determine_ksp_tolerances` (`src/pprts_base.F90:1097-1131`)."""
     rtol = 1e-5
@@ -47,7 +115,7 @@ def default_tolerances(n_unknowns: int, unconstrained_fraction: float = 1.0):
 
 @partial(
     jax.jit,
-    static_argnames=("scheme", "max_iter", "check_every"),
+    static_argnames=("scheme", "max_iter", "precond"),
 )
 def solve_richardson(
     scheme: StreamScheme,
@@ -59,14 +127,16 @@ def solve_richardson(
     rtol: float = 1e-5,
     atol: float = 1e-8,
     max_iter: int = 3000,
-    check_every: int = 1,
+    precond: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Adaptive-omega Richardson iteration.
-
-    Returns (x, niter, omega_final); omega_final warm-starts the next
-    solve of the same band (reference `solution%diff_sor_omega`).
+    """Adaptive-omega (preconditioned) Richardson iteration:
+        x <- x + omega * M^-1 (b + S x - x)
+    with M the vertical-line preconditioner (`vertical_line_solve`) or
+    identity.  Returns (x, niter, omega_final); omega_final warm-starts
+    the next solve of the same band (reference `solution%diff_sor_omega`).
     """
     x = jnp.zeros_like(b) if x0 is None else x0
+    use_line = precond and scheme.difftop.dof == 2
 
     # NOTE deviation from the reference bounds [1, 1.25]
     # (`src/pprts_explicit.F90:530-533`): those are safe for Gauss-Seidel
@@ -82,11 +152,10 @@ def solve_richardson(
 
     def body(state):
         it, x, res, res0, res_prev2, omega, omega_dir, omega_step, log_rate_prev = state
-        x_new = (1.0 - omega) * x + omega * (b + diffuse_scatter(scheme, coeff, x, albedo2d))
-        # x_new - x = omega * (b - (I - S) x): the update norm over omega
-        # IS the true residual norm (stronger than the reference's
-        # update-norm criterion).
-        res_new = jnp.linalg.norm((x_new - x).ravel()) / omega
+        r = b + diffuse_scatter(scheme, coeff, x, albedo2d) - x
+        res_new = jnp.linalg.norm(r.ravel())
+        z = vertical_line_solve(scheme, coeff, r, albedo2d) if use_line else r
+        x_new = x + omega * z
         res0_new = jnp.where(it == 0, jnp.maximum(res_new, 1e-30), res0)
 
         # adaptive omega controller (log-rate feedback)
@@ -124,7 +193,7 @@ def solve_richardson(
     return x, it, omega_final
 
 
-@partial(jax.jit, static_argnames=("scheme", "maxiter"))
+@partial(jax.jit, static_argnames=("scheme", "maxiter", "precond"))
 def solve_bicgstab(
     scheme: StreamScheme,
     coeff: jnp.ndarray,
@@ -134,11 +203,18 @@ def solve_bicgstab(
     rtol: float = 1e-5,
     atol: float = 1e-8,
     maxiter: int = 1000,
+    precond: bool = True,
 ) -> jnp.ndarray:
-    """Matrix-free BiCGStab on A(x) = x - S(x)."""
+    """Matrix-free BiCGStab on A(x) = x - S(x), optionally with the
+    vertical-line preconditioner (the analogue of the reference's
+    KSPFBCGS + ILU/SOR default, `src/pprts.F90:4311-4437`)."""
 
     def A(x):
         return x - diffuse_scatter(scheme, coeff, x, albedo2d)
 
-    x, _ = bicgstab(A, b, x0=x0, tol=rtol, atol=atol, maxiter=maxiter)
+    M = None
+    if precond and scheme.difftop.dof == 2:
+        M = lambda r: vertical_line_solve(scheme, coeff, r, albedo2d)
+
+    x, _ = bicgstab(A, b, x0=x0, tol=rtol, atol=atol, maxiter=maxiter, M=M)
     return x

@@ -59,15 +59,32 @@ class Solution(NamedTuple):
 
 
 class PprtsSolver:
+    """Solver driver.
+
+    `solver_type` selects the solver class like the reference's
+    `-solver` option (`allocate_pprts_solver_from_commandline`,
+    `src/pprts_base.F90:585`): a stream scheme name ("3_10", ...) runs
+    the 3-D solver; "2str" runs batched delta-Eddington two-stream
+    columns (+ Schwarzschild for thermal when `-schwarzschild` is set),
+    needing no LUT.
+    """
+
     def __init__(
         self,
         grid: Grid,
-        optprop: OptProp,
+        optprop: Optional[OptProp] = None,
         options: Optional[Options] = None,
+        solver_type: Optional[str] = None,
     ):
         self.grid = grid
         self.opp = optprop
-        self.scheme: StreamScheme = optprop.scheme
+        self.solver_type = solver_type or (optprop.scheme.name if optprop else "2str")
+        if optprop is not None:
+            self.scheme: StreamScheme = optprop.scheme
+        else:
+            self.scheme = get_scheme("2str")
+            if self.solver_type not in ("2str", "disort", "schwarzschild"):
+                raise ValueError(f"solver_type {self.solver_type!r} needs an OptProp/LUT")
         self.options = options or Options()
         self.sun: Optional[SunInfo] = None
         self.solutions: Dict[int, Solution] = {}
@@ -134,7 +151,12 @@ class PprtsSolver:
         grid = self.grid
         sun = self.sun
         l1d = jnp.asarray(self._l1d)
-        diff_solver = self.options.get("diff_solver", "richardson")
+        # default: BiCGStab with the vertical-line preconditioner (the
+        # analogue of the reference's FBCGS+ILU default); "richardson"
+        # selects the adaptive-omega explicit iteration (parity with the
+        # reference's explicit SOR path).
+        diff_solver = self.options.get("diff_solver", "bicgstab")
+        precond = self.options.get("diff_precond", "line") == "line"
         max_iter = self.options.get_int("ksp_max_it", 3000)
         rtol = self.options.get_float("ksp_rtol", 1e-5)
         atol = self.options.get_float("ksp_atol", 1e-8)
@@ -175,7 +197,7 @@ class PprtsSolver:
             if diff_solver == "bicgstab":
                 ediff = solve_bicgstab(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
-                    rtol=rtol, atol=atol, maxiter=max_iter,
+                    rtol=rtol, atol=atol, maxiter=max_iter, precond=precond,
                 )
                 niter = jnp.asarray(0)
                 omega = omega0
@@ -183,6 +205,7 @@ class PprtsSolver:
                 ediff, niter, omega = solve_richardson(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
                     omega0=omega0, rtol=rtol, atol=atol, max_iter=max_iter,
+                    precond=precond,
                 )
 
             abso = calc_flx_div(
@@ -211,6 +234,9 @@ class PprtsSolver:
         if lsolar and self.sun is None:
             raise RuntimeError("call set_angles before a solar solve")
 
+        if self.solver_type in ("2str", "schwarzschild", "disort"):
+            return self._solve_1d(lthermal, lsolar, edirTOA, uid)
+
         atm = self._atm
         prev = self.solutions.get(uid)
         x0 = prev.ediff if prev is not None else jnp.zeros(
@@ -231,6 +257,54 @@ class PprtsSolver:
         return sol
 
     # ------------------------------------------------------------------
+    def _solve_1d(self, lthermal, lsolar, edirTOA, uid):
+        """Column-solver dispatch (reference `src/pprts.F90:2606-2652`
+        via `src/pprts_1D_solvers.F90`)."""
+        from tenstream_tpu.pprts.oned import (
+            solve_schwarzschild_columns,
+            solve_twostream_columns,
+        )
+
+        atm = self._atm
+        g = self.grid
+        zero_lvl = jnp.zeros((g.nz + 1, g.nx, g.ny), ireals)
+        S = edn = eup = None
+        abso = jnp.zeros((g.nz, g.nx, g.ny), ireals)
+        use_schwarz = self.options.get_bool("schwarzschild", self.solver_type == "schwarzschild")
+
+        if lsolar and self.sun is not None and self.sun.sun_up:
+            S, edn_s, eup_s, abso_s = solve_twostream_columns(
+                atm["kabs"], atm["ksca"], atm["g"], g.dz3d, self.sun.mu,
+                jnp.asarray(edirTOA, ireals), atm["albedo2d"],
+            )
+            edn = edn_s
+            eup = eup_s
+            abso = abso + abso_s
+        if lthermal and atm["planck"] is not None:
+            if use_schwarz:
+                edn_t, eup_t, abso_t = solve_schwarzschild_columns(
+                    atm["kabs"], g.dz3d, atm["albedo2d"], atm["planck"],
+                    planck_srfc=atm["planck_srfc"],
+                )
+            else:
+                _, edn_t, eup_t, abso_t = solve_twostream_columns(
+                    atm["kabs"], atm["ksca"], atm["g"], g.dz3d, -1.0,
+                    0.0, atm["albedo2d"], planck=atm["planck"],
+                    planck_srfc=atm["planck_srfc"],
+                )
+            edn = edn_t if edn is None else edn + edn_t
+            eup = eup_t if eup is None else eup + eup_t
+            abso = abso + abso_t
+
+        if edn is None:
+            edn = zero_lvl
+            eup = zero_lvl
+        self._oned_results = getattr(self, "_oned_results", {})
+        self._oned_results[uid] = (S, edn, eup, abso, bool(lsolar and self.sun and self.sun.sun_up))
+        sol = Solution(S, edn, abso, jnp.asarray(1.0, ireals), jnp.asarray(0))
+        self.solutions[uid] = sol
+        return sol
+
     def _dir_scale_to_wm2(self) -> jnp.ndarray:
         """1 / (face area per dof): converts [W] -> [W/m2]
         (reference `gen_scale_dir_flx_vec_arr`, `src/pprts.F90:3902-3945`)."""
@@ -276,6 +350,16 @@ class PprtsSolver:
         Returns (edir, edn, eup, abso); edir is None for thermal-only.
         Reference `pprts_get_result` (`src/pprts.F90:5799-5919`).
         """
+        if self.solver_type in ("2str", "schwarzschild", "disort"):
+            S, edn, eup, abso, had_solar = self._oned_results[uid]
+            if had_solar:
+                mu = self.sun.mu
+                S = S * mu
+                edn = edn * mu
+                eup = eup * mu
+                abso = abso * mu
+            return S, edn, eup, abso
+
         sol = self.solutions[uid]
         s = self.scheme
 

@@ -142,6 +142,9 @@ def specint_pprts(
             )
             toa_b = sp.weight[lo:hi] if solar else jnp.zeros((nb,), ireals)
 
+            if x0.shape[0] != nb:  # trailing partial chunk
+                x0 = x0[:nb]
+                om0 = om0[:nb]
             edir_b, ediff_b, abso_b, niter_b, om_b = vfn(
                 kabs_b[lo:hi], ksca_b[lo:hi], g_b[lo:hi], a2d,
                 planck_b, psrfc_b, toa_b, x0, om0,
