@@ -1,0 +1,335 @@
+"""Pallas TPU kernel for BoxMC photon tracing: VMEM-resident batches.
+
+Why: the jnp tracer (`tenstream_tpu.boxmc.tracer`) streams the whole
+photon state through HBM on every `while_loop` iteration — for optically
+thick entries (thousands of scatter events) LUT generation becomes
+HBM-bound and impractically slow.  This kernel keeps the photon state of
+one LUT entry (~200 KB) in VMEM for the entire walk, so the trace loop
+runs at VPU speed with zero HBM traffic per iteration (the hot loop of
+reference `src/boxmc.F90:559-820`, redesigned for the TPU memory
+hierarchy).
+
+One grid step traces one (entry, source) combination; entry parameters
+(tauz, w0, aspect, g, phi, theta) stream in as (1, 8) blocks, tallies
+(T, S) stream out as (1, ndir/ndiff) blocks.  Physics is identical to the
+jnp tracer (implicit capture, HG scattering, weight roulette, truncation
+redistribution); equivalence is asserted by tests/test_pallas_tracer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tenstream_tpu.boxmc.schemes import get_box_scheme
+
+_WEIGHT_ROULETTE = 1e-4
+_ROULETTE_SURVIVE = 0.5
+_BIG = 1e30
+
+# photon batch layout inside the kernel: (ROWS, LANES)
+_ROWS = 8
+_LANES = 640  # 5120 photons
+_OUT_COLS = 128  # lane-aligned packed output row: [T | S | padding]
+
+
+def _lane_ids(shape):
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    return r * jnp.uint32(shape[1]) + c
+
+
+def _hash_uniform(lane, base, ctr, salt):
+    """Counter-based uniform in [0,1): murmur3-finalizer hash of
+    (lane, base, ctr, salt).  Portable between compiled and interpret
+    modes (the pltpu hardware PRNG is a no-op under interpretation)."""
+    x = lane ^ (base * jnp.uint32(0x9E3779B9))
+    x = x + jnp.uint32(ctr) * jnp.uint32(0x85EBCA6B) + jnp.uint32(salt) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    # keep the top 24 bits; go via int32 (Mosaic lacks uint32->f32 casts)
+    x24 = pltpu.bitcast(x >> jnp.uint32(8), jnp.int32)
+    return x24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _hg_costheta(u, g):
+    iso = jnp.abs(g) < 1e-4
+    g_safe = jnp.where(iso, 0.5, g)
+    frac = (1.0 - g_safe**2) / (1.0 - g_safe + 2.0 * g_safe * u)
+    ct_hg = (1.0 + g_safe**2 - frac**2) / (2.0 * g_safe)
+    return jnp.clip(jnp.where(iso, 2.0 * u - 1.0, ct_hg), -1.0, 1.0)
+
+
+def _rotate_about(dx, dy, dz, ct, phi):
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    denom = jnp.sqrt(jnp.maximum(1e-12, 1.0 - dz * dz))
+    straight_up = jnp.abs(dz) > 0.99999
+    ux = jnp.where(straight_up, 1.0, dy / denom)
+    uy = jnp.where(straight_up, 0.0, -dx / denom)
+    vx = uy * dz
+    vy = -ux * dz
+    vz = ux * dy - uy * dx
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    nx = st * (cp * ux + sp * vx) + ct * dx
+    ny = st * (cp * uy + sp * vy) + ct * dy
+    nz = st * sp * vz + ct * dz
+    norm = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+    return nx / norm, ny / norm, nz / norm
+
+
+def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
+    """One kernel per (scheme, ldir): the source face, hemisphere
+    restriction and RNG seed are dynamic entry parameters (columns 6-8),
+    so LUT generation compiles exactly two kernels total."""
+    scheme = get_box_scheme(scheme_name)
+    ndir, ndiff = scheme.ndir, scheme.ndiff
+    dir_table = np.asarray(scheme.dir_dst_by_face, np.int32)
+    diff_table = np.asarray(scheme.diff_dst_by_face_zsign, np.int32)
+    shape = (_ROWS, _LANES)
+
+    def kernel(params_ref, out_ref):
+        pid = pl.program_id(0)
+        lane = _lane_ids(shape)
+
+        tauz = params_ref[pid, 0]
+        w0 = params_ref[pid, 1]
+        aspect = params_ref[pid, 2]
+        g = params_ref[pid, 3]
+        phi_deg = params_ref[pid, 4]
+        theta_deg = params_ref[pid, 5]
+        seed_f = params_ref[pid, 6]
+        face_f = params_ref[pid, 7]  # source face id 0..5
+        zsign_f = params_ref[pid, 8]  # -1 / 0 / +1 hemisphere restriction
+
+        base = (
+            seed_f.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(747796405)
+            + pid.astype(jnp.uint32)
+        ) | jnp.uint32(1)
+
+        def uni(ctr, salt):
+            return _hash_uniform(lane, base, ctr, salt)
+
+        bx = jnp.float32(1.0)
+        by = jnp.float32(1.0)
+        bz = jnp.maximum(aspect, 1e-6)
+        kext = tauz / bz
+        ksca = w0 * kext
+        kabs = (1.0 - w0) * kext
+
+        eps = jnp.float32(1e-6)
+        u1 = uni(0, 0)
+        u2 = uni(0, 1)
+
+        def face_select(v0, v1, v2, v3, v4, v5):
+            f = face_f
+            return jnp.where(
+                f < 0.5, v0,
+                jnp.where(f < 1.5, v1,
+                          jnp.where(f < 2.5, v2,
+                                    jnp.where(f < 3.5, v3,
+                                              jnp.where(f < 4.5, v4, v5)))),
+            )
+
+        one = jnp.ones(shape, jnp.float32)
+        px = face_select(u1 * bx, u1 * bx, one * eps * bx, one * (1 - eps) * bx, u1 * bx, u1 * bx)
+        py = face_select(u2 * by, u2 * by, u2 * by, u2 * by, one * eps * by, one * (1 - eps) * by)
+        pz = face_select(one * bz * (1 - eps), one * bz * eps, u1 * bz, u1 * bz, u2 * bz, u2 * bz)
+
+        if ldir:
+            phi = jnp.deg2rad(phi_deg)
+            theta = jnp.deg2rad(theta_deg)
+            dx = jnp.full(shape, 1.0) * (jnp.sin(phi) * jnp.sin(theta))
+            dy = jnp.full(shape, 1.0) * (jnp.cos(phi) * jnp.sin(theta))
+            dz = jnp.full(shape, 1.0) * (-jnp.cos(theta))
+        else:
+            mu = jnp.sqrt(uni(0, 2))
+            sphi = uni(0, 3) * (2.0 * np.pi)
+            st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
+            a = st * jnp.cos(sphi)
+            b = st * jnp.sin(sphi)
+            dx = face_select(a, a, mu, -mu, a, a)
+            dy = face_select(b, b, a, a, mu, -mu)
+            dz = face_select(-mu, mu, b, b, b, b)
+            dz = jnp.where(zsign_f > 0.5, jnp.abs(dz), jnp.where(zsign_f < -0.5, -jnp.abs(dz), dz))
+
+        weights = jnp.ones(shape, jnp.float32)
+        # masks carried as f32 (Mosaic's while_loop layout unification
+        # rejects i1 vector carries)
+        alive = jnp.ones(shape, jnp.float32)
+        scattered = jnp.zeros(shape, jnp.float32)
+        # scalar accumulators (Mosaic has no scatter-add; dst tables are
+        # static so each destination gets its own masked reduction)
+        T_acc = tuple(jnp.float32(0.0) for _ in range(ndir))
+        S_acc = tuple(jnp.float32(0.0) for _ in range(ndiff))
+        dir_faces = [
+            [f for f in range(6) if int(dir_table[f]) == d] for d in range(ndir)
+        ]
+        diff_faces = [
+            [(f, zu) for f in range(6) for zu in range(2) if int(diff_table[f, zu]) == s]
+            for s in range(ndiff)
+        ]
+
+        def axis_t(p, d, hi):
+            d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+            bound = jnp.where(d > 0, hi, 0.0)
+            t = (bound - p) / d_safe
+            return jnp.where(jnp.abs(d) < 1e-12, _BIG, jnp.maximum(t, 0.0))
+
+        def cond(state):
+            i, px, py, pz, dx, dy, dz, weights, alive_f, scattered_f, T_acc, S_acc = state
+            return jnp.logical_and(i < max_iter, jnp.sum(alive_f) > 0)
+
+        def body(state):
+            i, px, py, pz, dx, dy, dz, weights, alive_f, scattered_f, T_acc, S_acc = state
+            alive = alive_f > 0
+            scattered = scattered_f > 0
+
+            tx = axis_t(px, dx, bx)
+            ty = axis_t(py, dy, by)
+            tz = axis_t(pz, dz, bz)
+            dmax = jnp.minimum(tx, jnp.minimum(ty, tz))
+            face_id = jnp.where(
+                dmax == tz,
+                jnp.where(dz > 0, 0, 1),
+                jnp.where(dmax == tx, jnp.where(dx > 0, 3, 2), jnp.where(dy > 0, 5, 4)),
+            )
+
+            u = jnp.maximum(uni(i + 1, 0), 1e-12)
+            s_free = jnp.where(ksca > 1e-12, -jnp.log(u) / jnp.maximum(ksca, 1e-12), _BIG)
+            travel = jnp.minimum(s_free, dmax)
+            weights = weights * jnp.exp(-kabs * travel)
+            px = px + dx * travel
+            py = py + dy * travel
+            pz = pz + dz * travel
+
+            exiting = alive & (s_free >= dmax)
+            up = dz > 0
+
+            # destination binning via static tables
+            if ldir:
+                wexit = jnp.where(exiting & (~scattered), weights, 0.0)
+                T_acc = tuple(
+                    T_acc[d]
+                    + sum(jnp.sum(jnp.where(face_id == f, wexit, 0.0)) for f in dir_faces[d])
+                    if dir_faces[d]
+                    else T_acc[d]
+                    for d in range(ndir)
+                )
+                wexit_s = jnp.where(exiting & scattered, weights, 0.0)
+            else:
+                wexit_s = jnp.where(exiting, weights, 0.0)
+            S_acc = tuple(
+                S_acc[s]
+                + sum(
+                    jnp.sum(jnp.where((face_id == f) & (up if zu else ~up), wexit_s, 0.0))
+                    for (f, zu) in diff_faces[s]
+                )
+                if diff_faces[s]
+                else S_acc[s]
+                for s in range(ndiff)
+            )
+
+            scattering = alive & (s_free < dmax)
+            ct = _hg_costheta(uni(i + 1, 1), g)
+            sphi = uni(i + 1, 2) * (2.0 * np.pi)
+            ndx, ndy, ndz = _rotate_about(dx, dy, dz, ct, sphi)
+            dx = jnp.where(scattering, ndx, dx)
+            dy = jnp.where(scattering, ndy, dy)
+            dz = jnp.where(scattering, ndz, dz)
+            scattered = scattered | scattering
+            alive = alive & (~exiting)
+
+            low = alive & (weights < _WEIGHT_ROULETTE)
+            surv = uni(i + 1, 3) < _ROULETTE_SURVIVE
+            weights = jnp.where(low & surv, weights / _ROULETTE_SURVIVE, weights)
+            alive = alive & ((~low) | surv)
+
+            return (
+                i + 1, px, py, pz, dx, dy, dz, weights,
+                alive.astype(jnp.float32), scattered.astype(jnp.float32),
+                T_acc, S_acc,
+            )
+
+        state = (jnp.int32(0), px, py, pz, dx, dy, dz, weights, alive, scattered, T_acc, S_acc)
+        state = jax.lax.while_loop(cond, body, state)
+        alive_f, T_acc, S_acc = state[8], state[10], state[11]
+        weights = state[7]
+
+        # truncation redistribution (energy conservation)
+        leftover = jnp.sum(jnp.where(alive_f > 0, weights, 0.0))
+        s_sum = sum(S_acc)
+        scale = jnp.where(s_sum > 0, 1.0 + leftover / jnp.maximum(s_sum, 1e-30), 1.0)
+
+        norm = jnp.float32(1.0 / (_ROWS * _LANES))
+        # assemble one padded (1, 128) row from the scalar accumulators
+        # (Mosaic cannot store scalars to VMEM; lanes are 128-wide)
+        vals = [t * norm for t in T_acc] + [s * scale * norm for s in S_acc]
+        vals = vals + [jnp.float32(0.0)] * (_OUT_COLS - len(vals))
+        row = jnp.concatenate([v.reshape(1, 1) for v in vals], axis=1)
+        out_ref[pl.ds(pid, 1), :] = row
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scheme_name", "ldir", "max_iter"))
+def _run_pallas(params_padded, scheme_name, ldir, max_iter):
+    scheme = get_box_scheme(scheme_name)
+    Bp = params_padded.shape[0]
+    kernel = _make_kernel(scheme_name, ldir, max_iter)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp,),
+        in_specs=[pl.BlockSpec((Bp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Bp, _OUT_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, _OUT_COLS), jnp.float32),
+    )(params_padded)
+    return out
+
+
+def run_boxmc_pallas(
+    params: jnp.ndarray,  # (B, >=6): tauz, w0, aspect, g, phi, theta
+    scheme_name: str,
+    src: int,
+    ldir: bool,
+    max_iter: int = 3000,
+    seed: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace all entries of `params`; returns (T (B, ndir), S (B, ndiff)).
+
+    `src`/`seed` become dynamic per-entry parameters (columns 6-8) so all
+    sources of a kind share one compiled kernel.
+    """
+    scheme = get_box_scheme(scheme_name)
+    B = params.shape[0]
+    if ldir:
+        face, zsign = scheme.dir_src_faces[src], 0
+    else:
+        spec = scheme.diff_srcs[src]
+        face, zsign = spec.face, spec.zsign
+    # pad the entry count to a sublane multiple and the param columns to a
+    # full lane tile: Mosaic faults on unaligned VMEM buffers.
+    Bp = ((B + 7) // 8) * 8
+    pp = jnp.zeros((Bp, 128), jnp.float32)
+    pp = pp.at[:B, : min(params.shape[1], 6)].set(params[:, :6])
+    pp = pp.at[:B, 6].set(float((seed + 977 * src) % (1 << 22)))
+    pp = pp.at[:B, 7].set(float(face))
+    pp = pp.at[:B, 8].set(float(zsign))
+    # whole arrays live in VMEM (small); each grid step reads/writes its
+    # own row via program_id — Mosaic requires full-array blocks here.
+    out = _run_pallas(pp, scheme_name, ldir, max_iter)
+    T = out[:B, : scheme.ndir]
+    S = out[:B, scheme.ndir : scheme.ndir + scheme.ndiff]
+    return T, S
+
+
+def pallas_photons_per_entry() -> int:
+    return _ROWS * _LANES

@@ -239,6 +239,13 @@ def _entry_grid(axes: LUTAxes, direct: bool) -> np.ndarray:
     return np.stack([m.ravel() for m in mesh], axis=-1).astype(np.float32)  # (N, 4 or 6)
 
 
+def _use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _trace_entries(
     scheme: str,
     entries: np.ndarray,
@@ -247,10 +254,35 @@ def _trace_entries(
     n_photons: int,
     key,
     chunk: int = 4096,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Run BoxMC for a list of parameter entries (vmapped, chunked)."""
+    """Run BoxMC for a list of parameter entries.
+
+    On accelerators the Pallas VMEM-resident kernel traces entries
+    (photon count fixed at its batch size); on CPU the vmapped jnp
+    tracer runs (the Pallas path also works under
+    `pltpu.force_tpu_interpret_mode`, used by tests).
+    """
     box = get_box_scheme(scheme)
     direct_cols = entries.shape[1] == 6
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+
+    if use_pallas:
+        from tenstream_tpu.boxmc.pallas_tracer import run_boxmc_pallas
+
+        params = np.zeros((entries.shape[0], 8), np.float32)
+        params[:, : entries.shape[1]] = entries
+        seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+        Ts, Ss = [], []
+        for lo in range(0, entries.shape[0], chunk):
+            T, S = run_boxmc_pallas(
+                jnp.asarray(params[lo : lo + chunk]), scheme, src, ldir,
+                seed=seed + lo,
+            )
+            Ts.append(np.asarray(T))
+            Ss.append(np.asarray(S))
+        return np.concatenate(Ts, 0), np.concatenate(Ss, 0)
 
     def one(params, k):
         # entry grid order is (tau, w0, aspect, g[, phi, theta])

@@ -239,7 +239,7 @@ class PprtsSolver:
 
         atm = self._atm
         prev = self.solutions.get(uid)
-        x0 = prev.ediff if prev is not None else jnp.zeros(
+        x0 = prev.ediff.astype(ireals) if prev is not None else jnp.zeros(
             (self.scheme.ndiff, self.grid.nz + 1, self.grid.nx, self.grid.ny), ireals
         )
         omega0 = prev.diff_omega if prev is not None else jnp.asarray(1.0, ireals)
@@ -253,8 +253,17 @@ class PprtsSolver:
                 jnp.asarray(edirTOA, ireals), x0, omega0,
             )
         sol = Solution(edir, ediff, abso, omega, niter)
-        self.solutions[uid] = sol
+        self.solutions[uid] = self._maybe_compress(sol)
         return sol
+
+    def _maybe_compress(self, sol: Solution) -> Solution:
+        """bf16-compress cached solutions (reference `compress_solution`,
+        `src/pprts_base.F90:425-462`, option `-pprts_compress_solutions`);
+        warm starts decompress implicitly on use."""
+        if not self.options.get_bool("pprts_compress_solutions", False):
+            return sol
+        cast = lambda a: None if a is None else a.astype(jnp.bfloat16)
+        return Solution(cast(sol.edir), cast(sol.ediff), cast(sol.abso), sol.diff_omega, sol.niter_diff)
 
     # ------------------------------------------------------------------
     def _solve_1d(self, lthermal, lsolar, edirTOA, uid):

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Generate BoxMC transfer-coefficient LUTs (reference `src/createLUT.F90`).
+
+Usage:
+  python tools/create_lut.py 3_10 [--preset default|mockup|bench]
+                                  [--photons N] [--out DIR]
+
+Tables are cached under the output dir keyed by the axis configuration;
+interrupted runs resume from per-source checkpoints.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scheme", help="stream scheme, e.g. 3_10")
+    ap.add_argument("--preset", default="default", choices=["default", "mockup", "bench"])
+    ap.add_argument("--photons", type=int, default=10000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from tenstream_tpu.optprop.lut import (
+        default_axes,
+        load_or_create_lut,
+        mockup_axes,
+    )
+
+    if args.preset == "mockup":
+        da, fa = mockup_axes(True), mockup_axes(False)
+    elif args.preset == "bench":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+        from bench import bench_lut_axes
+
+        da, fa = bench_lut_axes()
+    else:
+        da, fa = default_axes(True), default_axes(False)
+
+    t0 = time.time()
+    lut = load_or_create_lut(
+        args.scheme, da, fa, n_photons=args.photons, basename=args.out, verbose=True
+    )
+    print(f"done in {time.time()-t0:.1f}s; dir table {lut.dir2dir.shape}, "
+          f"diff table {lut.diff2diff.shape}")
+
+
+if __name__ == "__main__":
+    main()
