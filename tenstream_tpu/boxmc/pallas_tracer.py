@@ -40,24 +40,31 @@ _OUT_COLS = 128  # lane-aligned packed output row: [T | S | padding]
 
 
 def _lane_ids(shape):
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    return r * jnp.uint32(shape[1]) + c
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return r * jnp.int32(shape[1]) + c
+
+
+def _lsr(x, k):
+    """Logical right shift on int32 (mask out the sign extension) —
+    Mosaic supports neither uint32<->f32 casts nor scalar bitcasts, so
+    the whole hash runs in int32 two's-complement arithmetic."""
+    return (x >> jnp.int32(k)) & jnp.int32((1 << (32 - k)) - 1)
 
 
 def _hash_uniform(lane, base, ctr, salt):
-    """Counter-based uniform in [0,1): murmur3-finalizer hash of
-    (lane, base, ctr, salt).  Portable between compiled and interpret
-    modes (the pltpu hardware PRNG is a no-op under interpretation)."""
-    x = lane ^ (base * jnp.uint32(0x9E3779B9))
-    x = x + jnp.uint32(ctr) * jnp.uint32(0x85EBCA6B) + jnp.uint32(salt) * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> jnp.uint32(16))
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> jnp.uint32(15))
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> jnp.uint32(16))
-    # keep the top 24 bits; go via int32 (Mosaic lacks uint32->f32 casts)
-    x24 = pltpu.bitcast(x >> jnp.uint32(8), jnp.int32)
+    """Counter-based uniform in [0,1): murmur3-finalizer-style hash of
+    (lane, base, ctr, salt) in int32.  Portable between compiled and
+    interpret modes (the pltpu hardware PRNG is a no-op under
+    interpretation).  Multiplication/addition wrap identically to uint32."""
+    x = lane ^ (base * jnp.int32(-1640531527))  # 0x9E3779B9
+    x = x + jnp.int32(ctr) * jnp.int32(-2048144789) + jnp.int32(salt) * jnp.int32(-1028477387)
+    x = x ^ _lsr(x, 16)
+    x = x * jnp.int32(0x7FEB352D)
+    x = x ^ _lsr(x, 15)
+    x = x * jnp.int32(-2073453131)  # 0x846CA68B
+    x = x ^ _lsr(x, 16)
+    x24 = _lsr(x, 8)  # top 24 bits, non-negative
     return x24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
@@ -110,10 +117,8 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
         face_f = params_ref[pid, 7]  # source face id 0..5
         zsign_f = params_ref[pid, 8]  # -1 / 0 / +1 hemisphere restriction
 
-        base = (
-            seed_f.astype(jnp.int32).astype(jnp.uint32) * jnp.uint32(747796405)
-            + pid.astype(jnp.uint32)
-        ) | jnp.uint32(1)
+        seed_i = seed_f.astype(jnp.int32)
+        base = (seed_i * jnp.int32(747796405) + pid) | jnp.int32(1)
 
         def uni(ctr, salt):
             return _hash_uniform(lane, base, ctr, salt)

@@ -344,23 +344,32 @@ def create_lut(
         if ck["dir2dir"].shape == dir2dir.shape:
             dir2dir, dir2diff, diff2diff = ck["dir2dir"].copy(), ck["dir2diff"].copy(), ck["diff2diff"].copy()
 
+    def _validate(T, S, what):
+        if not (np.isfinite(T).all() and np.isfinite(S).all()):
+            raise FloatingPointError(f"non-finite BoxMC tallies in {what}")
+        worst = (T.sum(-1) + S.sum(-1)).max()
+        if worst > 1.0 + 1e-3:
+            raise FloatingPointError(f"energy creation in {what}: max row sum {worst}")
+
     for src in range(box.ndir):
         if dir2dir[..., src, :].sum() > 0:
             continue  # resumed from checkpoint
         T, S = _trace_entries(scheme, dir_entries, src, True, n_photons, jax.random.fold_in(key, src))
+        _validate(T, S, f"dir src {src}")
         dir2dir[..., src, :] = T.reshape(dshape + (box.ndir,))
         dir2diff[..., src, :] = S.reshape(dshape + (box.ndiff,))
         if verbose:
-            print(f"[lut:{scheme}] direct src {src + 1}/{box.ndir} done")
+            print(f"[lut:{scheme}] direct src {src + 1}/{box.ndir} done", flush=True)
         _ckpt()
 
     for src in range(box.ndiff):
         if diff2diff[..., src, :].sum() > 0:
             continue
-        _, S = _trace_entries(scheme, diff_entries, src, False, n_photons, jax.random.fold_in(key, 100 + src))
+        T, S = _trace_entries(scheme, diff_entries, src, False, n_photons, jax.random.fold_in(key, 100 + src))
+        _validate(T, S, f"diff src {src}")
         diff2diff[..., src, :] = S.reshape(fshape + (box.ndiff,))
         if verbose:
-            print(f"[lut:{scheme}] diffuse src {src + 1}/{box.ndiff} done")
+            print(f"[lut:{scheme}] diffuse src {src + 1}/{box.ndiff} done", flush=True)
         _ckpt()
 
     dir2dir, dir2diff, diff2diff = symmetrize_tables(

@@ -92,10 +92,17 @@ class PprtsSolver:
         self._solve_cache: Dict[Tuple, Any] = {}
         twostr_ratio = self.options.get_float("twostr_ratio", 2.0)
         self._l1d = np.asarray(determine_1d_layers(grid.dz3d, grid.dx, twostr_ratio))
+        self._buildings = None
 
     # ------------------------------------------------------------------
     def set_angles(self, sundir) -> None:
         self.sun = suninfo_from_sundir(sundir)
+
+    def set_buildings(self, buildings) -> None:
+        """Attach a `tenstream_tpu.pprts.buildings.Buildings` instance
+        (reference `init_buildings`, `src/buildings.F90:87`)."""
+        self._buildings = buildings
+        self._solve_cache.clear()
 
     def set_optical_properties(
         self,
@@ -142,6 +149,7 @@ class PprtsSolver:
             self.scheme.name,
             tuple(np.asarray(self._l1d).tolist()),
             self.options.get("diff_solver", "richardson"),
+            self._buildings is not None,
         )
         if key in self._solve_cache:
             return self._solve_cache[key]
@@ -165,12 +173,18 @@ class PprtsSolver:
         # strongly tilted sun (theta ~ 40deg), see tests.
         n_inner = self.options.get_int("edir_inner_iter", 8)
 
+        buildings = self._buildings
+
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0, omega0):
             coeffs, (a11, a12, a13, a23, a33) = assemble_coeffs(
                 scheme, opp, kabs, ksca, g, grid.dz3d, grid.dx, l1d,
                 sun, need_dir=lsolar,
             )
+            if buildings is not None:
+                from tenstream_tpu.pprts.buildings import mask_coeffs
+
+                coeffs = mask_coeffs(coeffs, buildings)
 
             edir = None
             b = jnp.zeros(
@@ -184,6 +198,11 @@ class PprtsSolver:
                 )
                 b = b + dir2diff_source(scheme, coeffs.dir2diff, edir, sun.xinc, sun.yinc)
                 b = b + direct_surface_reflection(scheme, edir, albedo2d)
+
+            if buildings is not None:
+                from tenstream_tpu.pprts.buildings import building_sources
+
+                b = b + building_sources(scheme, buildings, edir, grid.az)
 
             b_th = None
             if lthermal and planck is not None:
