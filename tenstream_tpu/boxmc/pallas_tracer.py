@@ -171,17 +171,16 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
         # rejects i1 vector carries)
         alive = jnp.ones(shape, jnp.float32)
         scattered = jnp.zeros(shape, jnp.float32)
-        # scalar accumulators (Mosaic has no scatter-add; dst tables are
-        # static so each destination gets its own masked reduction)
-        T_acc = tuple(jnp.float32(0.0) for _ in range(ndir))
-        S_acc = tuple(jnp.float32(0.0) for _ in range(ndiff))
-        dir_faces = [
-            [f for f in range(6) if int(dir_table[f]) == d] for d in range(ndir)
-        ]
-        diff_faces = [
-            [(f, zu) for f in range(6) for zu in range(2) if int(diff_table[f, zu]) == s]
-            for s in range(ndiff)
-        ]
+        # each photon exits at most once: record its destination code
+        # (-1 = none; 0..ndir-1 = direct dst; ndir..ndir+ndiff-1 = diffuse
+        # dst) and reduce AFTER the loop — no tally work inside the loop,
+        # no scalar carries.
+        exit_code = jnp.full(shape, -1.0, jnp.float32)
+
+        # destination-code lookup values per exit face (static tables)
+        dirc = [float(dir_table[f]) for f in range(6)]
+        diffc_dn = [float(ndir + diff_table[f, 0]) for f in range(6)]
+        diffc_up = [float(ndir + diff_table[f, 1]) for f in range(6)]
 
         def axis_t(p, d, hi):
             d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
@@ -189,12 +188,18 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
             t = (bound - p) / d_safe
             return jnp.where(jnp.abs(d) < 1e-12, _BIG, jnp.maximum(t, 0.0))
 
+        def fsel(face_id, vals):
+            out = jnp.full(shape, vals[5], jnp.float32)
+            for f in range(4, -1, -1):
+                out = jnp.where(face_id == f, jnp.float32(vals[f]), out)
+            return out
+
         def cond(state):
-            i, px, py, pz, dx, dy, dz, weights, alive_f, scattered_f, T_acc, S_acc = state
+            i, px, py, pz, dx, dy, dz, weights, alive_f, scattered_f, exit_code = state
             return jnp.logical_and(i < max_iter, jnp.sum(alive_f) > 0)
 
         def body(state):
-            i, px, py, pz, dx, dy, dz, weights, alive_f, scattered_f, T_acc, S_acc = state
+            i, px, py, pz, dx, dy, dz, weights, alive_f, scattered_f, exit_code = state
             alive = alive_f > 0
             scattered = scattered_f > 0
 
@@ -219,29 +224,13 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
             exiting = alive & (s_free >= dmax)
             up = dz > 0
 
-            # destination binning via static tables
+            # destination code for exiting photons (static lookup chains)
+            diffcode = jnp.where(up, fsel(face_id, diffc_up), fsel(face_id, diffc_dn))
             if ldir:
-                wexit = jnp.where(exiting & (~scattered), weights, 0.0)
-                T_acc = tuple(
-                    T_acc[d]
-                    + sum(jnp.sum(jnp.where(face_id == f, wexit, 0.0)) for f in dir_faces[d])
-                    if dir_faces[d]
-                    else T_acc[d]
-                    for d in range(ndir)
-                )
-                wexit_s = jnp.where(exiting & scattered, weights, 0.0)
+                newcode = jnp.where(scattered, diffcode, fsel(face_id, dirc))
             else:
-                wexit_s = jnp.where(exiting, weights, 0.0)
-            S_acc = tuple(
-                S_acc[s]
-                + sum(
-                    jnp.sum(jnp.where((face_id == f) & (up if zu else ~up), wexit_s, 0.0))
-                    for (f, zu) in diff_faces[s]
-                )
-                if diff_faces[s]
-                else S_acc[s]
-                for s in range(ndiff)
-            )
+                newcode = diffcode
+            exit_code = jnp.where(exiting, newcode, exit_code)
 
             scattering = alive & (s_free < dmax)
             ct = _hg_costheta(uni(i + 1, 1), g)
@@ -261,25 +250,29 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
             return (
                 i + 1, px, py, pz, dx, dy, dz, weights,
                 alive.astype(jnp.float32), scattered.astype(jnp.float32),
-                T_acc, S_acc,
+                exit_code,
             )
 
-        state = (jnp.int32(0), px, py, pz, dx, dy, dz, weights, alive, scattered, T_acc, S_acc)
+        state = (jnp.int32(0), px, py, pz, dx, dy, dz, weights, alive, scattered, exit_code)
         state = jax.lax.while_loop(cond, body, state)
-        alive_f, T_acc, S_acc = state[8], state[10], state[11]
-        weights = state[7]
+        weights, alive_f, exit_code = state[7], state[8], state[10]
 
         # truncation redistribution (energy conservation)
         leftover = jnp.sum(jnp.where(alive_f > 0, weights, 0.0))
-        s_sum = sum(S_acc)
-        scale = jnp.where(s_sum > 0, 1.0 + leftover / jnp.maximum(s_sum, 1e-30), 1.0)
+        s_mass = jnp.sum(jnp.where(exit_code >= ndir, weights, 0.0))
+        scale = jnp.where(s_mass > 0, 1.0 + leftover / jnp.maximum(s_mass, 1e-30), 1.0)
 
         norm = jnp.float32(1.0 / (_ROWS * _LANES))
-        # assemble one padded (1, 128) row from the scalar accumulators
-        # (Mosaic cannot store scalars to VMEM; lanes are 128-wide)
-        vals = [t * norm for t in T_acc] + [s * scale * norm for s in S_acc]
-        vals = vals + [jnp.float32(0.0)] * (_OUT_COLS - len(vals))
-        row = jnp.concatenate([v.reshape(1, 1) for v in vals], axis=1)
+        # one reduction per destination, assembled into a lane-aligned
+        # (1, _OUT_COLS) row via one-hot column masks (no scalar stores)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, _OUT_COLS), 1)
+        row = jnp.zeros((1, _OUT_COLS), jnp.float32)
+        for d in range(ndir):
+            t_d = jnp.sum(jnp.where(exit_code == d, weights, 0.0)) * norm
+            row = row + jnp.where(col == d, t_d, 0.0)
+        for s in range(ndiff):
+            s_v = jnp.sum(jnp.where(exit_code == ndir + s, weights, 0.0)) * scale * norm
+            row = row + jnp.where(col == ndir + s, s_v, 0.0)
         out_ref[pl.ds(pid, 1), :] = row
 
     return kernel

@@ -36,9 +36,16 @@ from tenstream_tpu.spectral.gasoptics import (
     cloud_optprops,
 )
 
+def _make_ecckd():
+    from tenstream_tpu.spectral.ecckd import EcckdGasOptics
+
+    return EcckdGasOptics()
+
+
 _BACKENDS = {
     "gray": GrayGasOptics,
     "synthck": SyntheticCKD,
+    "ecckd": _make_ecckd,
 }
 
 
@@ -47,6 +54,67 @@ class SpectralResult(NamedTuple):
     edn: jnp.ndarray
     eup: jnp.ndarray
     abso: jnp.ndarray  # (Nz, Nx, Ny) [W/m3]
+
+
+def _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields):
+    """Spectral integration through the batched two-stream column solver:
+    ALL g-points solve in one fused call (the g-point axis is just another
+    batch dimension of the column solver)."""
+    from tenstream_tpu.pprts.oned import solve_twostream_columns
+
+    grid = solver.grid
+    nz, nx, ny = grid.nz, grid.nx, grid.ny
+    edir = jnp.zeros((nz + 1, nx, ny), ireals)
+    edn = jnp.zeros_like(edir)
+    eup = jnp.zeros_like(edir)
+    abso = jnp.zeros((nz, nx, ny), ireals)
+
+    def batch_solve(sp, solar):
+        kabs_b, ksca_b, g_b = batched_fields(sp)
+        ngpt = kabs_b.shape[0]
+        # move gpt to a trailing batch dim: (nlay, ngpt, nx, ny)
+        tr = lambda a: jnp.moveaxis(a, 0, 1)
+        dz_b = grid.dz3d[:, None]
+        dtau = (tr(kabs_b) + tr(ksca_b)) * dz_b
+        w0 = tr(ksca_b) / jnp.maximum(tr(kabs_b) + tr(ksca_b), 1e-30)
+        if solar:
+            mu0 = solver.sun.mu
+            S, Edn, Eup = _ts(dtau, w0, tr(g_b), mu0, sp.weight[:, None, None], a2d[None])
+            planck_w = None
+        else:
+            planck_b = sp.planck[..., None, None] * jnp.ones((nx, ny), ireals)
+            S, Edn, Eup = _ts(
+                dtau, w0, tr(g_b), -1.0, 0.0, a2d[None],
+                planck=jnp.moveaxis(planck_b, 0, 1),
+            )
+        net = (S[:-1] - S[1:]) + (Edn[:-1] - Edn[1:]) + (Eup[1:] - Eup[:-1])
+        ab = net / dz_b
+        scale = solver.sun.mu if solar else 1.0
+        return (
+            S.sum(1) * scale, Edn.sum(1) * scale, Eup.sum(1) * scale, ab.sum(1) * scale,
+        )
+
+    def _ts(dtau, w0, g, mu0, inc, alb, planck=None):
+        return delta_eddington_twostream_wrap(dtau, w0, g, mu0, inc, alb, planck)
+
+    from tenstream_tpu.ops.twostream import delta_eddington_twostream
+
+    def delta_eddington_twostream_wrap(dtau, w0, g, mu0, inc, alb, planck):
+        return delta_eddington_twostream(dtau, w0, g, mu0, inc, alb, planck=planck)
+
+    if lsolar and solver.sun is not None and solver.sun.sun_up:
+        S, Edn, Eup, ab = batch_solve(backend.solar(atm), True)
+        edir = edir + S
+        edn = edn + Edn
+        eup = eup + Eup
+        abso = abso + ab
+    if lthermal:
+        S, Edn, Eup, ab = batch_solve(backend.thermal(atm), False)
+        edn = edn + Edn
+        eup = eup + Eup
+        abso = abso + ab
+
+    return SpectralResult(edir, edn, eup, abso)
 
 
 def _merge_cloud(tau_g, w0_g, g_g, tau_c, w0_c, g_c):
@@ -104,6 +172,9 @@ def specint_pprts(
         tau, w0, g = _merge_cloud(tau_g, w0_g, g_g, tau_c[None], w0_c[None], g_c[None])
         kabs, ksca, g = _to_kfields(tau, w0, g, dz3d[None])
         return delta_scale(kabs, ksca, g)
+
+    if solver.solver_type in ("2str", "schwarzschild", "disort"):
+        return _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields)
 
     edir_acc = None
     edn = jnp.zeros((nz + 1, nx, ny), ireals)
