@@ -19,6 +19,7 @@ redistribution); equivalence is asserted by tests/test_pallas_tracer.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -37,6 +38,17 @@ _BIG = 1e30
 _ROWS = 8
 _LANES = 640  # 5120 photons
 _OUT_COLS = 128  # lane-aligned packed output row: [T | S | padding]
+# fixed grid size: EVERY launch pads its entry list to this many rows so
+# only one kernel shape per (scheme, ldir) ever compiles (the remote
+# Mosaic compile service has multi-minute latency variance)
+_FIXED_B = 4096
+
+# persist compiled kernels across processes
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def _lane_ids(shape):
@@ -313,9 +325,13 @@ def run_boxmc_pallas(
     else:
         spec = scheme.diff_srcs[src]
         face, zsign = spec.face, spec.zsign
-    # pad the entry count to a sublane multiple and the param columns to a
-    # full lane tile: Mosaic faults on unaligned VMEM buffers.
-    Bp = ((B + 7) // 8) * 8
+    # pad the entry count to the fixed grid size and the param columns to
+    # a full lane tile (Mosaic faults on unaligned VMEM buffers; pad rows
+    # are zero-extinction boxes that exit in one step).
+    assert B <= _FIXED_B, f"chunk {B} exceeds fixed pallas batch {_FIXED_B}"
+    # fixed shape on accelerators (compile once); minimal padding on CPU
+    # interpret-mode runs (grid steps are interpreted sequentially there)
+    Bp = _FIXED_B if jax.default_backend() != "cpu" else ((B + 7) // 8) * 8
     pp = jnp.zeros((Bp, 128), jnp.float32)
     pp = pp.at[:B, : min(params.shape[1], 6)].set(params[:, :6])
     pp = pp.at[:B, 6].set(float((seed + 977 * src) % (1 << 22)))

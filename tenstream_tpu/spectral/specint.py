@@ -143,9 +143,19 @@ def specint_pprts(
     reliq=None,
     band_chunk: int = 16,
     albedo_2d=None,
+    time: Optional[float] = None,
+    max_solution_err: float = 0.0,
+    max_solution_time: float = 0.0,
 ) -> SpectralResult:
     """Full-spectrum solve.  The solver's grid z-axis must match
-    atm.nlay; sun angles must be set for solar."""
+    atm.nlay; sun angles must be set for solar.
+
+    With `time` (simulation time [s]) and positive
+    `max_solution_err`/`max_solution_time`, band chunks whose
+    extrapolated absorption error stays small are skipped and their
+    cached contribution reused (reference adaptive spectral integration,
+    `src/adaptive_spectral_integration.F90`, options
+    `-max_solution_err/-max_solution_time`)."""
     backend = _BACKENDS[specint]() if isinstance(specint, str) else specint
     grid = solver.grid
     scheme = solver.scheme
@@ -181,6 +191,12 @@ def specint_pprts(
     eup = jnp.zeros_like(edn)
     abso = jnp.zeros((nz, nx, ny), ireals)
 
+    def nonlocal_edir_add(contrib):
+        nonlocal edir_acc
+        if edir_acc is None:
+            edir_acc = jnp.zeros((scheme.ndir, nz + 1, nx, ny), ireals)
+        edir_acc = edir_acc + contrib
+
     def run_chunks(sp: SpectralOptProps, solar: bool, uid_tag: str):
         nonlocal edir_acc, edn, eup, abso
         kabs_b, ksca_b, g_b = batched_fields(sp)
@@ -190,11 +206,28 @@ def specint_pprts(
         vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0))
 
         zeros_planck = jnp.zeros((nz + 1, nx, ny), ireals)
+        if not hasattr(solver, "_spectral_cache"):
+            solver._spectral_cache = {}
+            solver._spectral_trackers = {}
+        adaptive = time is not None and max_solution_err > 0 and max_solution_time > 0
         for lo in range(0, ngpt, band_chunk):
             hi = min(lo + band_chunk, ngpt)
             nb = hi - lo
             cache_key = (uid_tag, lo)
             prev = solver.solutions.get(cache_key)
+
+            if adaptive and cache_key in solver._spectral_cache:
+                from tenstream_tpu.pprts.adaptive import SolutionErrorTracker
+
+                tracker = solver._spectral_trackers.setdefault(cache_key, SolutionErrorTracker())
+                if not tracker.need_new_solution(time, max_solution_err, max_solution_time):
+                    cached = solver._spectral_cache[cache_key]
+                    if cached[0] is not None:
+                        nonlocal_edir_add(cached[0])
+                    _acc_diff(cached[1])
+                    _acc_abso(cached[2], solar)
+                    solver._spectral_skips = getattr(solver, "_spectral_skips", 0) + 1
+                    continue
             x0 = (
                 prev.ediff
                 if prev is not None
@@ -225,13 +258,25 @@ def specint_pprts(
             solver.solutions[cache_key] = Solution(edir_b, ediff_b, abso_b, om_b, niter_b)
 
             # accumulate in W, convert at the end
-            if edir_b is not None:
-                if edir_acc is None:
-                    edir_acc = jnp.zeros((scheme.ndir, nz + 1, nx, ny), ireals)
-                edir_acc = edir_acc + edir_b.sum(0)
-            _acc_diff(ediff_b.sum(0))
-            abso_w = abso_b.sum(0)
-            _acc_abso(abso_w, solar)
+            edir_contrib = None if edir_b is None else edir_b.sum(0)
+            ediff_contrib = ediff_b.sum(0)
+            abso_contrib = abso_b.sum(0)
+            if edir_contrib is not None:
+                nonlocal_edir_add(edir_contrib)
+            _acc_diff(ediff_contrib)
+            _acc_abso(abso_contrib, solar)
+
+            if adaptive:
+                from tenstream_tpu.pprts.adaptive import (
+                    SolutionErrorTracker,
+                    abso_change_maxnorm,
+                )
+
+                tracker = solver._spectral_trackers.setdefault(cache_key, SolutionErrorTracker())
+                old = solver._spectral_cache.get(cache_key)
+                err = abso_change_maxnorm(abso_contrib, old[2]) if old is not None else 0.0
+                tracker.record(time, err)
+                solver._spectral_cache[cache_key] = (edir_contrib, ediff_contrib, abso_contrib)
 
     ediff_acc_solar = jnp.zeros((scheme.ndiff, nz + 1, nx, ny), ireals)
     ediff_acc_thermal = jnp.zeros_like(ediff_acc_solar)
