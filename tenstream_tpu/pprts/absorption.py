@@ -60,7 +60,13 @@ def calc_flx_div(
 
     if edir is not None and coeffs.dir2dir is not None:
         src = gather_dir_src(scheme, edir, sun.xinc, sun.yinc)
-        cdiv = 1.0 - coeffs.dir2dir.sum(axis=1) - coeffs.dir2diff.sum(axis=1)
+        cdiv = jnp.clip(
+            1.0
+            - coeffs.dir2dir.astype(ireals).sum(axis=1)
+            - coeffs.dir2diff.astype(ireals).sum(axis=1),
+            0.0,
+            1.0,
+        )
         # 1-D layers: Beer-Lambert absorption of the direct beam for the
         # top streams (reference :5303-5310), side streams carry nothing.
         mu = jnp.maximum(jnp.asarray(sun.mu, ireals), 1e-6)
@@ -77,7 +83,7 @@ def calc_flx_div(
         abso = abso + jnp.einsum("skij,skij->kij", src, cdiv)
 
     src = gather_diff_src(scheme, ediff)
-    cdiv = 1.0 - coeffs.diff2diff.sum(axis=1)
+    cdiv = jnp.clip(1.0 - coeffs.diff2diff.astype(ireals).sum(axis=1), 0.0, 1.0)
     # 1-D layers: cdiv = 1 - a11 - a12 for top streams, zero for sides
     ntop = scheme.difftop.dof
     cdiv_1d_top = jnp.clip(1.0 - a11 - a12, 0.0, 1.0)

@@ -66,10 +66,13 @@ def vertical_line_solve(
     d_up = 0 if not inward[0] else 1
     d_dn = 1 - d_up
 
-    a_dn = coeff[d_dn, d_dn]  # (Nz, Nx, Ny): src Edn -> dst Edn
-    b_dn = coeff[d_up, d_dn]  # src Eup -> dst Edn
-    a_up = coeff[d_up, d_up]
-    b_up = coeff[d_dn, d_up]
+    # full precision for the tridiagonal elimination even when the coeff
+    # field is stored compressed (bf16)
+    f32 = jnp.float32
+    a_dn = coeff[d_dn, d_dn].astype(f32)  # (Nz, Nx, Ny): src Edn -> dst Edn
+    b_dn = coeff[d_up, d_dn].astype(f32)  # src Eup -> dst Edn
+    a_up = coeff[d_up, d_up].astype(f32)
+    b_up = coeff[d_dn, d_up].astype(f32)
     r_dn = r[d_dn]  # (Nz+1, Nx, Ny)
     r_up = r[d_up]
 

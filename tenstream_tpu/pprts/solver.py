@@ -174,6 +174,7 @@ class PprtsSolver:
         n_inner = self.options.get_int("edir_inner_iter", 8)
 
         buildings = self._buildings
+        compress_coeffs = self.options.get_bool("pprts_coeff_bf16", True)
 
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0, omega0):
@@ -185,6 +186,17 @@ class PprtsSolver:
                 from tenstream_tpu.pprts.buildings import mask_coeffs
 
                 coeffs = mask_coeffs(coeffs, buildings)
+
+            if compress_coeffs:
+                # bf16 diffuse blocks halve the HBM traffic of every
+                # solver iteration; coefficient magnitudes are O(1) power
+                # fractions with ~1% MC noise, so bf16 is lossless in
+                # practice.  Direct blocks stay f32: the cyclic-scan
+                # products compound precision.
+                from tenstream_tpu.pprts.coeffs import CoeffFields as _CF
+
+                coeffs = _CF(coeffs.dir2dir, coeffs.dir2diff,
+                             coeffs.diff2diff.astype(jnp.bfloat16))
 
             edir = None
             b = jnp.zeros(
