@@ -220,4 +220,17 @@ def solve_bicgstab(
         M = lambda r: vertical_line_solve(scheme, coeff, r, albedo2d)
 
     x, _ = bicgstab(A, b, x0=x0, tol=rtol, atol=atol, maxiter=maxiter, M=M)
-    return x
+
+    # BiCGStab rho-breakdown guard: on near-transparent systems (tiny b)
+    # the recurrence divides by ~0 and yields NaNs; fall back to the
+    # (division-free) preconditioned Richardson iteration in that case.
+    finite = jnp.isfinite(jnp.sum(x))
+
+    def _fallback(_):
+        xr, _, _ = solve_richardson(
+            scheme, coeff, b, albedo2d, x0=x0, rtol=rtol, atol=atol,
+            max_iter=min(maxiter, 2000), precond=precond,
+        )
+        return xr
+
+    return jax.lax.cond(finite, lambda _: x, _fallback, None)

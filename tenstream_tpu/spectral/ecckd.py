@@ -169,6 +169,63 @@ class EcckdGasOptics:
             weight=jnp.asarray(tb.z["solar_irradiance"], ireals),
         )
 
+    # -- per-gpoint cloud optics ----------------------------------------
+    @lru_cache(maxsize=4)
+    def _cloud_tables(self, kind: str):
+        """(reff_grid, kext, w0, g) with spectral shape (ngpt, nreff).
+
+        Parity: reference ecckd cloud optics from the Mie droplet table
+        spectrally averaged with `gpoint_fraction`
+        (`ecckd/ecckd_optprop.F90:181-288`).  Averages use extinction
+        (and scattering) weighting: w0_g = <k w0>/<k>, g_g = <k w0 g>/<k w0>.
+        """
+        tb = _load(kind, self.n_gpt, self.data_dir)
+        mie = np.load(os.path.join(self.data_dir, "mie_droplet_scattering.npz"))
+        wvn_mid = 0.5 * (tb.z["wavenumber1"] + tb.z["wavenumber2"])  # (nint,)
+        gfrac = tb.z["gpoint_fraction"]  # (ngpt, nint)
+        wnorm = gfrac / np.maximum(gfrac.sum(1, keepdims=True), 1e-30)
+
+        mw = mie["wavenumber"]
+        order = np.argsort(mw)
+
+        def onto_intervals(arr2):  # (nreff, n_mie_wvn) -> (nreff, nint)
+            return np.stack(
+                [np.interp(wvn_mid, mw[order], row[order]) for row in arr2], 0
+            )
+
+        kext = onto_intervals(mie["mass_extinction_coefficient"])
+        w0 = onto_intervals(mie["single_scattering_albedo"])
+        g = onto_intervals(mie["asymmetry_factor"])
+
+        kext_g = wnorm @ kext.T  # (ngpt, nreff)
+        ksca_g = wnorm @ (kext * w0).T
+        kscg_g = wnorm @ (kext * w0 * g).T
+        w0_g = ksca_g / np.maximum(kext_g, 1e-30)
+        g_g = kscg_g / np.maximum(ksca_g, 1e-30)
+        return (
+            mie["effective_radius"] * 1e6,  # [um]
+            kext_g.astype(np.float32),
+            w0_g.astype(np.float32),
+            g_g.astype(np.float32),
+        )
+
+    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m):
+        """Per-gpoint water-cloud (tau, w0, g), shapes (ngpt, *grid)."""
+        reff_grid, kext_g, w0_g, g_g = self._cloud_tables(kind)
+        lwp = jnp.asarray(lwc_gm3, ireals) * 1e-3 * jnp.asarray(dz_m, ireals)  # kg/m2
+        from tenstream_tpu.ops.interp import fractional_index
+
+        fr = fractional_index(jnp.asarray(reff_grid, ireals), jnp.asarray(reff_um, ireals))
+        i0 = jnp.clip(jnp.floor(fr), 0, len(reff_grid) - 2).astype(jnp.int32)
+        w = (fr - i0)[None]
+
+        def gi(tbl):
+            t = jnp.asarray(tbl, ireals)
+            return t[:, i0] * (1 - w) + t[:, i0 + 1] * w  # (ngpt, *grid)
+
+        tau = gi(kext_g) * lwp[None]
+        return tau, gi(w0_g), gi(g_g)
+
     def thermal(self, atm: Atmosphere) -> SpectralOptProps:
         tb = _load("lw", self.n_gpt, self.data_dir)
         tau = self._gas_tau(tb, atm)

@@ -70,7 +70,7 @@ def _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields):
     abso = jnp.zeros((nz, nx, ny), ireals)
 
     def batch_solve(sp, solar):
-        kabs_b, ksca_b, g_b = batched_fields(sp)
+        kabs_b, ksca_b, g_b = batched_fields(sp, "sw" if solar else "lw")
         ngpt = kabs_b.shape[0]
         # move gpt to a trailing batch dim: (nlay, ngpt, nx, ny)
         tr = lambda a: jnp.moveaxis(a, 0, 1)
@@ -174,12 +174,27 @@ def specint_pprts(
         w0_c = jnp.zeros_like(tau_c)
         g_c = jnp.zeros_like(tau_c)
 
-    def batched_fields(sp: SpectralOptProps):
-        """Broadcast the column gas props to 3-D and merge clouds."""
+    has_gpt_clouds = lwc is not None and hasattr(backend, "cloud_optprops_gpt")
+    if lwc is not None:
+        reff_cells = (
+            jnp.asarray(reliq, ireals)
+            if reliq is not None
+            else jnp.full((nz, nx, ny), 10.0, ireals)
+        )
+
+    def batched_fields(sp: SpectralOptProps, kind: str = "sw"):
+        """Broadcast the column gas props to 3-D and merge clouds
+        (per-gpoint Mie optics when the backend provides them)."""
         tau_g = jnp.asarray(sp.tau, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
         w0_g = jnp.asarray(sp.w0, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
         g_g = jnp.asarray(sp.g, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
-        tau, w0, g = _merge_cloud(tau_g, w0_g, g_g, tau_c[None], w0_c[None], g_c[None])
+        if has_gpt_clouds:
+            tc, wc, gc = backend.cloud_optprops_gpt(
+                kind, jnp.asarray(lwc, ireals), reff_cells, dz3d
+            )
+        else:
+            tc, wc, gc = tau_c[None], w0_c[None], g_c[None]
+        tau, w0, g = _merge_cloud(tau_g, w0_g, g_g, tc, wc, gc)
         kabs, ksca, g = _to_kfields(tau, w0, g, dz3d[None])
         return delta_scale(kabs, ksca, g)
 
@@ -199,7 +214,7 @@ def specint_pprts(
 
     def run_chunks(sp: SpectralOptProps, solar: bool, uid_tag: str):
         nonlocal edir_acc, edn, eup, abso
-        kabs_b, ksca_b, g_b = batched_fields(sp)
+        kabs_b, ksca_b, g_b = batched_fields(sp, "sw" if solar else "lw")
         ngpt = kabs_b.shape[0]
         has_planck = sp.planck is not None
         fn = solver._solve_fn(lthermal=has_planck, lsolar=solar, has_planck_srfc=sp.planck_srfc is not None)

@@ -56,6 +56,17 @@ def extract(path: str) -> dict:
     return out
 
 
+def extract_scattering(path: str) -> dict:
+    f = netcdf_file(path, "r", mmap=False)
+    out = {}
+    for k in f.variables:
+        arr = np.array(f.variables[k].data, np.float64)
+        if arr.ndim > 0:
+            out[k] = arr
+    f.close()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/reference/ecckd/data")
@@ -80,6 +91,16 @@ def main():
         np.savez_compressed(dst, **out)
         print(f"{dst}: gases={list(out['gases'])}, "
               + ", ".join(f"{k}{out[k].shape}" for k in out if k.endswith("_mabs")))
+
+    for name in ("mie_droplet_scattering.nc", "fu-muskatel-rough_ice_scattering.nc"):
+        src = os.path.join(args.src, name)
+        if not os.path.exists(src):
+            print(f"skip missing {src}")
+            continue
+        out = extract_scattering(src)
+        dst = os.path.join(args.out, name.replace(".nc", "") + ".npz")
+        np.savez_compressed(dst, **out)
+        print(f"{dst}: " + ", ".join(f"{k}{out[k].shape}" for k in sorted(out)[:6]))
 
 
 if __name__ == "__main__":
