@@ -62,6 +62,13 @@ class BoxScheme:
     #   diff_dst_by_face_zsign[face][0 (down) /1 (up)] -> diff dst index
     dir_dst_by_face: Tuple[int, ...]
     diff_dst_by_face_zsign: Tuple[Tuple[int, int], ...]
+    # optional sub-face source rectangles per dir src, as (u0,u1,v0,v1)
+    # fractions of the face's in-plane coords (u,v per `_sample_on_face`:
+    # top/bot faces u->x,v->y; x-faces u->z,v->y; y-faces u->x,v->z)
+    dir_src_rects: Optional[Tuple[Tuple[float, float, float, float], ...]] = None
+    # positional direct classification: "quad8" = top/bot quadrants +
+    # side z-halves (reference `update_dir_stream_8_10`)
+    dir_classify: Optional[str] = None
 
 
 def _mk_1_2() -> BoxScheme:
@@ -147,7 +154,34 @@ def _mk_3_10() -> BoxScheme:
     )
 
 
-BOX_SCHEMES = {s.name: s for s in (_mk_1_2(), _mk_3_6(), _mk_3_10())}
+def _mk_8_10() -> BoxScheme:
+    """8 direct (4 top quadrants + 2 z-half side pairs) + the 3_10
+    diffuse set, `src/boxmc_8_10.inc:20-80`."""
+    base = _mk_3_10()
+    half = 0.5
+    return BoxScheme(
+        name="8_10",
+        ndir=8,
+        ndiff=10,
+        dir_src_faces=(TOP, TOP, TOP, TOP, XMIN, XMIN, YMIN, YMIN),
+        diff_srcs=base.diff_srcs,
+        dir_dst_by_face=(-1, -1, -1, -1, -1, -1),  # positional classify
+        diff_dst_by_face_zsign=base.diff_dst_by_face_zsign,
+        dir_src_rects=(
+            (0.0, half, 0.0, half),  # top quadrant x<=,y<=  (T1)
+            (half, 1.0, 0.0, half),  # x>, y<=               (T2)
+            (0.0, half, half, 1.0),  # x<=, y>               (T3)
+            (half, 1.0, half, 1.0),  # x>, y>                (T4)
+            (0.0, half, 0.0, 1.0),  # XMIN lower-z half      (T5)
+            (half, 1.0, 0.0, 1.0),  # XMIN upper-z half      (T6)
+            (0.0, 1.0, 0.0, half),  # YMIN lower-z half      (T7)
+            (0.0, 1.0, half, 1.0),  # YMIN upper-z half      (T8)
+        ),
+        dir_classify="quad8",
+    )
+
+
+BOX_SCHEMES = {s.name: s for s in (_mk_1_2(), _mk_3_6(), _mk_3_10(), _mk_8_10())}
 
 
 def get_box_scheme(name: str) -> BoxScheme:

@@ -71,11 +71,16 @@ def _rotate_about(dx, dy, dz, ct, phi):
     return nx / norm, ny / norm, nz / norm
 
 
-def _sample_on_face(key, face, bx, by, bz, n):
-    """Uniform positions on a box face, nudged slightly inside."""
+def _sample_on_face(key, face, bx, by, bz, n, rect=None):
+    """Uniform positions on a box face (or a sub-rectangle of it),
+    nudged slightly inside."""
     u1 = jax.random.uniform(key, (2, n))
     eps = 1e-6
     u, v = u1[0], u1[1]
+    if rect is not None:
+        u0, u1_, v0, v1_ = rect
+        u = u0 + u * (u1_ - u0)
+        v = v0 + v * (v1_ - v0)
     if face == 0:
         return u * bx, v * by, jnp.full((n,), bz * (1 - eps))
     if face == 1:
@@ -185,7 +190,8 @@ def run_boxmc(
 
     if ldir:
         face = scheme.dir_src_faces[src]
-        px, py, pz = _sample_on_face(kpos, face, bx, by, bz, n_photons)
+        rect = scheme.dir_src_rects[src] if scheme.dir_src_rects else None
+        px, py, pz = _sample_on_face(kpos, face, bx, by, bz, n_photons, rect=rect)
         phi = jnp.deg2rad(jnp.asarray(phi_deg, jnp.float32))
         theta = jnp.deg2rad(jnp.asarray(theta_deg, jnp.float32))
         sx = jnp.sin(phi) * jnp.sin(theta)
@@ -239,8 +245,17 @@ def run_boxmc(
         up = dz > 0
         diff_dst = diff_table[face, up.astype(jnp.int32)]
         if ldir:
-            dir_dst = dir_table[face]
-            dir_dst = jnp.where(dir_dst < 0, scheme.ndir, dir_dst)
+            if scheme.dir_classify == "quad8":
+                # top/bot quadrants + side z-halves (update_dir_stream_8_10)
+                quad = (px > 0.5 * bx).astype(jnp.int32) + 2 * (py > 0.5 * by).astype(jnp.int32)
+                zhalf = (pz > 0.5 * bz).astype(jnp.int32)
+                dir_dst = jnp.where(
+                    face <= 1, quad,
+                    jnp.where(face <= 3, 4 + zhalf, 6 + zhalf),
+                )
+            else:
+                dir_dst = dir_table[face]
+                dir_dst = jnp.where(dir_dst < 0, scheme.ndir, dir_dst)
             as_direct = exiting & (~scattered)
             as_diffuse = exiting & scattered
             T = T.at[jnp.where(as_direct, dir_dst, scheme.ndir)].add(

@@ -124,8 +124,10 @@ class OptProp:
         c_dd = c_dd.reshape(c_dd.shape[:-1] + (ndir, ndir))
         c_df = c_df.reshape(c_df.shape[:-1] + (ndir, ndiff))
         if switch_x or switch_y:
-            perm = _diff_dst_permutation(self.scheme, switch_x, switch_y)
-            c_df = c_df[..., :, perm]
+            q = _diff_dst_permutation(self.scheme, switch_x, switch_y)
+            p = self.scheme.dir_switch_perm(switch_x, switch_y)
+            c_dd = c_dd[..., p, :][..., :, p]
+            c_df = c_df[..., p, :][..., :, q]
         return c_dd, c_df
 
     def diff_coeffs(self, tauz, w0, g, aspect) -> jnp.ndarray:

@@ -267,6 +267,8 @@ def _trace_entries(
     direct_cols = entries.shape[1] == 6
     if use_pallas is None:
         use_pallas = _use_pallas_default()
+    if ldir and box.dir_classify is not None:
+        use_pallas = False  # positional classification: jnp tracer only (for now)
 
     if use_pallas:
         from tenstream_tpu.boxmc.pallas_tracer import run_boxmc_pallas

@@ -112,6 +112,20 @@ class StreamScheme:
             np.int32,
         )
 
+    def dir_switch_perm(self, switch_x: bool, switch_y: bool) -> np.ndarray:
+        """Direct-dof permutation unfolding the LUT's canonical sun octant
+        for schemes with sub-face direct streams (reference
+        `dir2dir8_coeff_symmetry`, `src/optprop.F90`: east switch swaps
+        top-quadrants 0<->1, 2<->3; north switch swaps 0<->2, 1<->3;
+        side dofs unchanged).  Identity for single-top-dof schemes."""
+        perm = np.arange(self.ndir)
+        if self.dirtop.dof == 4:
+            if switch_x:
+                perm[:4] = perm[[1, 0, 3, 2]]
+            if switch_y:
+                perm[:4] = perm[[2, 3, 0, 1]]
+        return perm
+
     def diff_inv_dof(self) -> np.ndarray:
         """(ndiff,) index of the same stream with opposite direction
         (reference `inv_dof`, `src/pprts_explicit.F90:1001-1014`).
