@@ -73,6 +73,18 @@ def load_bench_lut():
         print(f"# using bench LUT {path}", file=sys.stderr)
         return LUT.load(path)
 
+    # otherwise: largest committed 3_10 table wins
+    data_dir = os.path.abspath(lut_basename())
+    if os.path.isdir(data_dir):
+        cands = sorted(
+            (os.path.getsize(os.path.join(data_dir, f)), os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.startswith("LUT_3_10") and f.endswith(".npz")
+        )
+        if cands:
+            print(f"# using LUT {cands[-1][1]}", file=sys.stderr)
+            return LUT.load(cands[-1][1])
+
     test_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "data", "luts")
     if os.path.isdir(test_dir):
         cands = sorted(
