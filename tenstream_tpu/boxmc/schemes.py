@@ -46,6 +46,9 @@ _FACE_NORMAL = np.array(
 class DiffSrc:
     face: int
     zsign: int  # -1 down hemisphere, +1 up hemisphere, 0 unrestricted
+    # azimuth sector restriction for top/bot-face sources
+    # (0: +y, 1: -x, 2: -y, 3: +x), or None for the full azimuth circle
+    phi_sector: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -69,6 +72,10 @@ class BoxScheme:
     # positional direct classification: "quad8" = top/bot quadrants +
     # side z-halves (reference `update_dir_stream_8_10`)
     dir_classify: Optional[str] = None
+    # azimuth-sector destination tables for top/bot-face diffuse exits
+    # (reference `update_diff_stream_3_16`): [face 0 sectors, face 1
+    # sectors], each a 4-tuple of dst dofs indexed by sector id
+    diff_top_sector_dst: Optional[Tuple[Tuple[int, int, int, int], Tuple[int, int, int, int]]] = None
 
 
 def _mk_1_2() -> BoxScheme:
@@ -181,7 +188,62 @@ def _mk_8_10() -> BoxScheme:
     )
 
 
-BOX_SCHEMES = {s.name: s for s in (_mk_1_2(), _mk_3_6(), _mk_3_10(), _mk_8_10())}
+def _sector_diff_srcs():
+    """difftop sources for sectored schemes: dofs (2s, 2s+1) are the
+    (Eup from bottom, Edn from top) pair of azimuth sector s, sectors
+    ordered (+y, -x, -y, +x) as in `update_diff_stream_3_16`."""
+    out = []
+    for sector in range(4):
+        out.append(DiffSrc(BOT, 0, phi_sector=sector))
+        out.append(DiffSrc(TOP, 0, phi_sector=sector))
+    return tuple(out)
+
+
+def _mk_3_16() -> BoxScheme:
+    """3 direct + 16 diffuse: 8 sectored top streams + the 3_10 side set
+    (`src/boxmc_3_16.inc`)."""
+    base = _mk_3_10()
+    side_srcs = base.diff_srcs[2:]
+    # side dofs shift by +6 relative to 3_10 (8 top dofs instead of 2)
+    side_tbl = tuple(
+        (a + 6 if a >= 2 else a, b + 6 if b >= 2 else b)
+        for (a, b) in base.diff_dst_by_face_zsign[2:]
+    )
+    return BoxScheme(
+        name="3_16",
+        ndir=3,
+        ndiff=16,
+        dir_src_faces=(TOP, XMIN, YMIN),
+        diff_srcs=_sector_diff_srcs() + side_srcs,
+        dir_dst_by_face=(-1, 0, -1, 1, -1, 2),
+        diff_dst_by_face_zsign=((0, 0), (1, 1)) + side_tbl,
+        # top exits: Eup dof = 2*sector, bot exits: Edn dof = 2*sector+1
+        diff_top_sector_dst=((0, 2, 4, 6), (1, 3, 5, 7)),
+    )
+
+
+def _mk_8_16() -> BoxScheme:
+    """8 direct (quadrants) + 16 sectored-top diffuse streams."""
+    b316 = _mk_3_16()
+    b810 = _mk_8_10()
+    return BoxScheme(
+        name="8_16",
+        ndir=8,
+        ndiff=16,
+        dir_src_faces=b810.dir_src_faces,
+        diff_srcs=b316.diff_srcs,
+        dir_dst_by_face=(-1, -1, -1, -1, -1, -1),
+        diff_dst_by_face_zsign=b316.diff_dst_by_face_zsign,
+        dir_src_rects=b810.dir_src_rects,
+        dir_classify="quad8",
+        diff_top_sector_dst=b316.diff_top_sector_dst,
+    )
+
+
+BOX_SCHEMES = {
+    s.name: s
+    for s in (_mk_1_2(), _mk_3_6(), _mk_3_10(), _mk_8_10(), _mk_3_16(), _mk_8_16())
+}
 
 
 def get_box_scheme(name: str) -> BoxScheme:

@@ -94,7 +94,10 @@ def _sample_on_face(key, face, bx, by, bz, n, rect=None):
     return u * bx, jnp.full((n,), by * (1 - eps)), v * bz
 
 
-def _sample_lambertian(key, face, zsign, n):
+_SECTOR_CENTERS = [0.0, 1.5 * jnp.pi, jnp.pi, 0.5 * jnp.pi]  # +y, -x, -y, +x
+
+
+def _sample_lambertian(key, face, zsign, n, phi_sector=None):
     """Lambertian directions about the inward normal of `face`;
     optionally restricted to the up/down hemisphere (zsign).
 
@@ -105,6 +108,15 @@ def _sample_lambertian(key, face, zsign, n):
     """
     k1, k2 = jax.random.split(key)
     mu = jnp.sqrt(jax.random.uniform(k1, (n,)))
+    if phi_sector is not None and face in (0, 1):
+        # azimuth restricted to a 90-degree sector
+        # (reference `init_diff_photon_3_16` phi windows)
+        phi = float(_SECTOR_CENTERS[phi_sector]) + (jax.random.uniform(k2, (n,)) - 0.5) * (0.5 * jnp.pi)
+        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
+        dx_ = st * jnp.sin(phi)
+        dy_ = st * jnp.cos(phi)
+        dz_ = mu if face == 1 else -mu  # BOT sources go up, TOP go down
+        return dx_, dy_, dz_
     phi = jax.random.uniform(k2, (n,)) * (2.0 * jnp.pi)
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
     a = st * jnp.cos(phi)
@@ -203,7 +215,10 @@ def run_boxmc(
     else:
         spec = scheme.diff_srcs[src]
         px, py, pz = _sample_on_face(kpos, spec.face, bx, by, bz, n_photons)
-        dx, dy, dz = _sample_lambertian(kdir, spec.face, spec.zsign, n_photons)
+        dx, dy, dz = _sample_lambertian(
+            kdir, spec.face, spec.zsign, n_photons,
+            phi_sector=getattr(spec, "phi_sector", None),
+        )
 
     weights = jnp.ones((n_photons,), jnp.float32)
     alive = jnp.ones((n_photons,), bool)
@@ -244,6 +259,17 @@ def run_boxmc(
 
         up = dz > 0
         diff_dst = diff_table[face, up.astype(jnp.int32)]
+        if scheme.diff_top_sector_dst is not None:
+            # azimuth-sector binning of top/bot-face exits
+            # (reference `update_diff_stream_3_16`)
+            sector = jnp.where(
+                jnp.abs(dy) > jnp.abs(dx),
+                jnp.where(dy > 0, 0, 2),
+                jnp.where(dx > 0, 3, 1),
+            )
+            top_tbl = jnp.asarray(scheme.diff_top_sector_dst, jnp.int32)  # (2, 4)
+            sector_dst = top_tbl[jnp.clip(face, 0, 1), sector]
+            diff_dst = jnp.where(face <= 1, sector_dst, diff_dst)
         if ldir:
             if scheme.dir_classify == "quad8":
                 # top/bot quadrants + side z-halves (update_dir_stream_8_10)

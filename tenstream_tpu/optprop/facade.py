@@ -28,18 +28,11 @@ from tenstream_tpu.streams import StreamScheme, get_scheme
 def _diff_dst_permutation(scheme: StreamScheme, switch_x: bool, switch_y: bool) -> np.ndarray:
     """Destination permutation unfolding the LUT's canonical sun octant.
 
-    Parity: `dir3_to_diff10_coeff_symmetry` etc. (`src/optprop.F90:1009`):
-    swap the side-stream destination pairs on the switched axis.
+    Parity: `dir3_to_diff10/16_coeff_symmetry` etc.
+    (`src/optprop.F90:1009+`); structural rules in
+    `StreamScheme.diff_switch_perm`.
     """
-    perm = np.arange(scheme.ndiff)
-    nt, ns = scheme.difftop.dof, scheme.diffside.dof
-    if switch_x:
-        blk = perm[nt : nt + ns].reshape(-1, 2)[:, ::-1].ravel()
-        perm[nt : nt + ns] = blk
-    if switch_y:
-        blk = perm[nt + ns : nt + 2 * ns].reshape(-1, 2)[:, ::-1].ravel()
-        perm[nt + ns : nt + 2 * ns] = blk
-    return perm
+    return scheme.diff_switch_perm(switch_x, switch_y)
 
 
 class OptProp:

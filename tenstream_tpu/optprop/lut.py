@@ -96,22 +96,8 @@ _CACHE_VERSION = 2  # bump when table generation/symmetrization changes
 # the direct tables).
 # ---------------------------------------------------------------------------
 
-_DIFF_PERMS = {
-    "3_10": dict(
-        mx=[0, 1, 3, 2, 5, 4, 6, 7, 8, 9],
-        my=[0, 1, 2, 3, 4, 5, 7, 6, 9, 8],
-        mz=[1, 0, 4, 5, 2, 3, 8, 9, 6, 7],
-        mxy=[0, 1, 6, 7, 8, 9, 2, 3, 4, 5],
-    ),
-    "3_6": dict(
-        mx=[0, 1, 3, 2, 4, 5],
-        my=[0, 1, 2, 3, 5, 4],
-        mz=[1, 0, 2, 3, 4, 5],
-        mxy=[0, 1, 4, 5, 2, 3],
-    ),
-    "1_2": dict(mx=[0, 1], my=[0, 1], mz=[1, 0], mxy=[0, 1]),
-}
-_DIR_PERM_XY = {"3_10": [0, 2, 1], "3_6": [0, 2, 1], "1_2": [0]}
+# mirror permutations are generated structurally per scheme
+# (`StreamScheme.diff_mirror_perms` / `dir_mirror_perm_xy`)
 
 
 def _perm_group(perms):
@@ -139,9 +125,12 @@ def _perm_group(perms):
 
 def symmetrize_tables(scheme: str, dir2dir, dir2diff, diff2diff, phi_grid):
     """Average the tables over the cube symmetry group (see above)."""
-    if scheme not in _DIFF_PERMS:
+    from tenstream_tpu.streams import SCHEMES
+
+    if scheme not in SCHEMES:
         return dir2dir, dir2diff, diff2diff
-    p = _DIFF_PERMS[scheme]
+    sch = SCHEMES[scheme]
+    p = sch.diff_mirror_perms()
 
     # diffuse: full group from x/y/z mirrors and the x<->y exchange
     group = _perm_group([p["mx"], p["my"], p["mz"], p["mxy"]])
@@ -153,7 +142,7 @@ def symmetrize_tables(scheme: str, dir2dir, dir2diff, diff2diff, phi_grid):
     # direct tables: phi -> 90 - phi pairs with the x<->y exchange,
     # valid when the phi axis is mirror-symmetric about 45 deg.
     if np.allclose(phi_grid + phi_grid[::-1], 90.0, atol=1e-3):
-        pd = np.asarray(_DIR_PERM_XY[scheme])
+        pd = np.asarray(sch.dir_mirror_perm_xy())
         pf = np.asarray(p["mxy"])
         dd_m = dir2dir[:, :, :, :, ::-1][..., pd, :][..., :, pd]
         df_m = dir2diff[:, :, :, :, ::-1][..., pd, :][..., :, pf]

@@ -57,6 +57,9 @@ class StreamScheme:
     dirside: DofGroup
     difftop: DofGroup
     diffside: DofGroup
+    # True when the difftop dofs are azimuth-sectored (+y,-x,-y,+x) x
+    # (up,dn) pairs (3_16 / 8_16 style)
+    sectored_top: bool = False
 
     # ---- counts ---------------------------------------------------------
     @property
@@ -126,6 +129,85 @@ class StreamScheme:
                 perm[:4] = perm[[2, 3, 0, 1]]
         return perm
 
+    # ---- mirror / sun-octant permutations -------------------------------
+    def _swap_side_pairs(self, perm: np.ndarray, axis: int) -> None:
+        nt, ns = self.difftop.dof, self.diffside.dof
+        lo = nt + (axis - 1) * ns
+        blk = perm[lo : lo + ns].reshape(-1, 2)[:, ::-1].ravel()
+        perm[lo : lo + ns] = blk
+
+    def diff_switch_perm(self, switch_x: bool, switch_y: bool) -> np.ndarray:
+        """Diffuse-dst permutation unfolding the LUT sun octant
+        (reference `dir3_to_diff10/16_coeff_symmetry`,
+        `src/optprop.F90:1009+`): side pairs swap on the switched axis;
+        sectored tops swap the corresponding azimuth sectors."""
+        perm = np.arange(self.ndiff)
+        if self.sectored_top:
+            if switch_x:  # sectors -x <-> +x: dof pairs (2,3)<->(6,7)
+                perm[[2, 3, 6, 7]] = perm[[6, 7, 2, 3]]
+            if switch_y:  # sectors +y <-> -y: (0,1)<->(4,5)
+                perm[[0, 1, 4, 5]] = perm[[4, 5, 0, 1]]
+        if self.diffside.dof:
+            if switch_x:
+                self._swap_side_pairs(perm, 1)
+            if switch_y:
+                self._swap_side_pairs(perm, 2)
+        return perm
+
+    def diff_mirror_perms(self) -> Dict[str, list]:
+        """Cube-symmetry dof permutations for LUT symmetrization
+        (x-mirror, y-mirror, z-mirror, x<->y exchange).  Supports plain
+        up/dn difftop pairs, sectored tops, and [out,in]-paired sides
+        with optional dn/up halves."""
+        nt, ns = self.difftop.dof, self.diffside.dof
+        n = self.ndiff
+        mx = np.arange(n)
+        my = np.arange(n)
+        mz = np.arange(n)
+        mxy = np.arange(n)
+
+        if self.sectored_top:
+            mx[[2, 3, 6, 7]] = [6, 7, 2, 3]
+            my[[0, 1, 4, 5]] = [4, 5, 0, 1]
+            mxy[[0, 1, 6, 7]] = [6, 7, 0, 1]
+            mxy[[2, 3, 4, 5]] = [4, 5, 2, 3]
+        # z-mirror swaps each (up,dn) top pair
+        for p in range(nt // 2):
+            mz[[2 * p, 2 * p + 1]] = [2 * p + 1, 2 * p]
+
+        if ns:
+            xlo, ylo = nt, nt + ns
+            # mirrors along an axis swap that axis' (out,in) pairs
+            self._swap_side_pairs(mx, 1)
+            self._swap_side_pairs(my, 2)
+            # z-mirror swaps the dn/up halves of each side group
+            if ns >= 4 and ns % 4 == 0:
+                h = ns // 2
+                for lo in (xlo, ylo):
+                    mz[lo : lo + ns] = np.concatenate(
+                        [mz[lo + h : lo + ns], mz[lo : lo + h]]
+                    )
+            # x<->y exchange swaps the side groups
+            mxy[xlo : xlo + ns], mxy[ylo : ylo + ns] = (
+                mxy[ylo : ylo + ns].copy(),
+                mxy[xlo : xlo + ns].copy(),
+            )
+        return dict(mx=list(mx), my=list(my), mz=list(mz), mxy=list(mxy))
+
+    def dir_mirror_perm_xy(self) -> list:
+        """Direct-dof permutation under the x<->y exchange (pairs with
+        the LUT's phi -> 90-phi mirror)."""
+        perm = np.arange(self.ndir)
+        if self.dirtop.dof == 4:
+            perm[[1, 2]] = [2, 1]  # quadrants (x>,y<=) <-> (x<=,y>)
+        if self.dirside.dof:
+            nt, ns = self.dirtop.dof, self.dirside.dof
+            perm[nt : nt + ns], perm[nt + ns : nt + 2 * ns] = (
+                perm[nt + ns : nt + 2 * ns].copy(),
+                perm[nt : nt + ns].copy(),
+            )
+        return list(perm)
+
     def diff_inv_dof(self) -> np.ndarray:
         """(ndiff,) index of the same stream with opposite direction
         (reference `inv_dof`, `src/pprts_explicit.F90:1001-1014`).
@@ -157,7 +239,8 @@ SCHEMES: Dict[str, StreamScheme] = {
     "3_6": StreamScheme("3_6", _grp([T]), _grp([T]), _grp([F, T]), _grp([F, T])),
     "3_10": StreamScheme("3_10", _grp([T]), _grp([T]), _grp([F, T]), _grp([F, T, F, T])),
     "3_16": StreamScheme(
-        "3_16", _grp([T]), _grp([T]), _grp([F, T] * 4), _grp([F, T, F, T])
+        "3_16", _grp([T]), _grp([T]), _grp([F, T] * 4), _grp([F, T, F, T]),
+        sectored_top=True,
     ),
     "3_24": StreamScheme(
         "3_24", _grp([T]), _grp([T]), _grp([F, T] * 4), _grp([T, F] * 4)
@@ -169,7 +252,8 @@ SCHEMES: Dict[str, StreamScheme] = {
         "8_10", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T]), _grp([F, T, F, T])
     ),
     "8_16": StreamScheme(
-        "8_16", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T] * 4), _grp([F, T, F, T])
+        "8_16", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T] * 4), _grp([F, T, F, T]),
+        sectored_top=True,
     ),
     "8_18": StreamScheme(
         "8_18", _grp([T] * 4, 4), _grp([T] * 2, 2), _grp([F, T] * 5), _grp([F, T, F, T])
