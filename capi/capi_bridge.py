@@ -41,7 +41,9 @@ def init(nz, nx, ny, dx, dy, dz_bytes, phi0, theta0, solver_name):
     if solver_name in ("2str", "schwarzschild", "disort"):
         solver = PprtsSolver(grid, solver_type=solver_name)
     else:
-        lut = load_or_create_lut(solver_name, mockup_axes(True), mockup_axes(False))
+        lut = load_or_create_lut(
+            solver_name, mockup_axes(True), mockup_axes(False), n_photons=2000
+        )
         solver = PprtsSolver(grid, OptProp(lut))
     solver.set_angles(sundir_from_angles(phi0, theta0))
     _state["solver"] = solver
