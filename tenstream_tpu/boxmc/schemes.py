@@ -45,10 +45,18 @@ _FACE_NORMAL = np.array(
 @dataclass(frozen=True)
 class DiffSrc:
     face: int
-    zsign: int  # -1 down hemisphere, +1 up hemisphere, 0 unrestricted
+    zsign: int = 0  # -1 down hemisphere, +1 up hemisphere, 0 unrestricted
     # azimuth sector restriction for top/bot-face sources
     # (0: +y, 1: -x, 2: -y, 3: +x), or None for the full azimuth circle
     phi_sector: Optional[int] = None
+    # tangential-quadrant restriction q = 2*(t1<0) + (t2<0) with the
+    # face tangentials (top/bot: (x,y); x-sides: (y,z); y-sides: (x,z)),
+    # reference `init_diff_photon_3_24` phi windows
+    quadrant: Optional[int] = None
+    # window on the cosine wrt the face normal: mu = sqrt(U(lo^2, hi^2))
+    # (reference `interv_R` sampling, e.g. `boxmc_3_30.inc:354-356`)
+    mu_min: float = 0.0
+    mu_max: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -76,6 +84,15 @@ class BoxScheme:
     # (reference `update_diff_stream_3_16`): [face 0 sectors, face 1
     # sectors], each a 4-tuple of dst dofs indexed by sector id
     diff_top_sector_dst: Optional[Tuple[Tuple[int, int, int, int], Tuple[int, int, int, int]]] = None
+    # general per-face angular classification (overrides the tables
+    # above when set): 6-tuple of (mode, dsts) with mode in
+    #   "zsign"       dsts = (dn_dst, up_dst)
+    #   "quad"        dsts = (q0, q1, q2, q3) by tangential-sign quadrant
+    #   "quad_main"   dsts = (main, q0..q3), main when |mu_n| >= alim
+    #   "sector_main" dsts = (main, s0..s3), axis sectors (+y,-x,-y,+x)
+    # (reference `update_diff_stream_3_24/_3_30/_8_18`)
+    diff_face_class: Optional[Tuple[Tuple[str, Tuple[int, ...]], ...]] = None
+    alim: float = 0.75
 
 
 def _mk_1_2() -> BoxScheme:
@@ -240,9 +257,154 @@ def _mk_8_16() -> BoxScheme:
     )
 
 
+_ALIM = 0.75  # angular limit of the "main" streams (reference alim_3_30)
+
+
+def _quad_pairs(face_out: int, face_in: int, mu_max: float = 1.0):
+    """(out, in)-interleaved quadrant source pairs for one face pair."""
+    out = []
+    for q in range(4):
+        out.append(DiffSrc(face_out, quadrant=q, mu_max=mu_max))
+        out.append(DiffSrc(face_in, quadrant=q, mu_max=mu_max))
+    return out
+
+
+def _mk_3_24() -> BoxScheme:
+    """3 direct + 24 diffuse: 4 azimuth-quadrant streams on every face
+    (`src/boxmc_3_24.inc:36-135`, quadrant classification
+    `update_diff_stream_3_24:365`)."""
+    srcs = (
+        tuple(_quad_pairs(BOT, TOP))
+        + tuple(_quad_pairs(XMAX, XMIN))
+        + tuple(_quad_pairs(YMAX, YMIN))
+    )
+    return BoxScheme(
+        name="3_24",
+        ndir=3,
+        ndiff=24,
+        dir_src_faces=(TOP, XMIN, YMIN),
+        diff_srcs=srcs,
+        dir_dst_by_face=(-1, 0, -1, 1, -1, 2),
+        diff_dst_by_face_zsign=((0, 0), (1, 1), (8, 8), (9, 9), (16, 16), (17, 17)),
+        diff_face_class=(
+            ("quad", (0, 2, 4, 6)),
+            ("quad", (1, 3, 5, 7)),
+            ("quad", (8, 10, 12, 14)),
+            ("quad", (9, 11, 13, 15)),
+            ("quad", (16, 18, 20, 22)),
+            ("quad", (17, 19, 21, 23)),
+        ),
+    )
+
+
+def _mk_3_30() -> BoxScheme:
+    """3 direct + 30 diffuse: a main stream (mu >= alim) plus 4 quadrant
+    streams on every face (`src/boxmc_3_30.inc:297-360,425-600`)."""
+
+    def grp(face_out, face_in):
+        return (
+            DiffSrc(face_out, mu_min=_ALIM),
+            DiffSrc(face_in, mu_min=_ALIM),
+        ) + tuple(_quad_pairs(face_out, face_in, mu_max=_ALIM))
+
+    srcs = grp(BOT, TOP) + grp(XMAX, XMIN) + grp(YMAX, YMIN)
+    return BoxScheme(
+        name="3_30",
+        ndir=3,
+        ndiff=30,
+        dir_src_faces=(TOP, XMIN, YMIN),
+        diff_srcs=srcs,
+        dir_dst_by_face=(-1, 0, -1, 1, -1, 2),
+        diff_dst_by_face_zsign=((0, 0), (1, 1), (10, 10), (11, 11), (20, 20), (21, 21)),
+        diff_face_class=(
+            ("quad_main", (0, 2, 4, 6, 8)),
+            ("quad_main", (1, 3, 5, 7, 9)),
+            ("quad_main", (10, 12, 14, 16, 18)),
+            ("quad_main", (11, 13, 15, 17, 19)),
+            ("quad_main", (20, 22, 24, 26, 28)),
+            ("quad_main", (21, 23, 25, 27, 29)),
+        ),
+        alim=_ALIM,
+    )
+
+
+def _mk_8_18() -> BoxScheme:
+    """8 direct (quadrant sub-faces) + 18 diffuse: main + 4 azimuth
+    sectors on top/bot, z-split sides (`src/boxmc_8_18.inc:19-180`)."""
+    b810 = _mk_8_10()
+    top = (DiffSrc(BOT, mu_min=_ALIM), DiffSrc(TOP, mu_min=_ALIM))
+    for s in range(4):
+        top += (
+            DiffSrc(BOT, phi_sector=s, mu_max=_ALIM),
+            DiffSrc(TOP, phi_sector=s, mu_max=_ALIM),
+        )
+    sides = (
+        DiffSrc(XMAX, -1), DiffSrc(XMIN, -1), DiffSrc(XMAX, +1), DiffSrc(XMIN, +1),
+        DiffSrc(YMAX, -1), DiffSrc(YMIN, -1), DiffSrc(YMAX, +1), DiffSrc(YMIN, +1),
+    )
+    return BoxScheme(
+        name="8_18",
+        ndir=8,
+        ndiff=18,
+        dir_src_faces=b810.dir_src_faces,
+        diff_srcs=top + sides,
+        dir_dst_by_face=(-1, -1, -1, -1, -1, -1),
+        diff_dst_by_face_zsign=((0, 0), (1, 1), (10, 12), (11, 13), (14, 16), (15, 17)),
+        dir_src_rects=b810.dir_src_rects,
+        dir_classify="quad8",
+        diff_face_class=(
+            ("sector_main", (0, 2, 4, 6, 8)),
+            ("sector_main", (1, 3, 5, 7, 9)),
+            ("zsign", (10, 12)),
+            ("zsign", (11, 13)),
+            ("zsign", (14, 16)),
+            ("zsign", (15, 17)),
+        ),
+        alim=_ALIM,
+    )
+
+
+def _mk_8_12() -> BoxScheme:
+    """8 direct + 12 diffuse: two full-azimuth mu rings (split at
+    mu = 0.5) on top/bot, z-split sides (`src/boxmc_8_12.inc`)."""
+    b810 = _mk_8_10()
+    alim = 0.5
+    top = (
+        DiffSrc(BOT, mu_min=alim), DiffSrc(TOP, mu_min=alim),
+        DiffSrc(BOT, mu_max=alim), DiffSrc(TOP, mu_max=alim),
+    )
+    sides = (
+        DiffSrc(XMAX, -1), DiffSrc(XMIN, -1), DiffSrc(XMAX, +1), DiffSrc(XMIN, +1),
+        DiffSrc(YMAX, -1), DiffSrc(YMIN, -1), DiffSrc(YMAX, +1), DiffSrc(YMIN, +1),
+    )
+    return BoxScheme(
+        name="8_12",
+        ndir=8,
+        ndiff=12,
+        dir_src_faces=b810.dir_src_faces,
+        diff_srcs=top + sides,
+        dir_dst_by_face=(-1, -1, -1, -1, -1, -1),
+        diff_dst_by_face_zsign=((0, 0), (1, 1), (4, 6), (5, 7), (8, 10), (9, 11)),
+        dir_src_rects=b810.dir_src_rects,
+        dir_classify="quad8",
+        diff_face_class=(
+            ("ring", (0, 2)),
+            ("ring", (1, 3)),
+            ("zsign", (4, 6)),
+            ("zsign", (5, 7)),
+            ("zsign", (8, 10)),
+            ("zsign", (9, 11)),
+        ),
+        alim=alim,
+    )
+
+
 BOX_SCHEMES = {
     s.name: s
-    for s in (_mk_1_2(), _mk_3_6(), _mk_3_10(), _mk_8_10(), _mk_3_16(), _mk_8_16())
+    for s in (
+        _mk_1_2(), _mk_3_6(), _mk_3_10(), _mk_8_10(), _mk_3_16(), _mk_8_16(),
+        _mk_3_24(), _mk_3_30(), _mk_8_18(), _mk_8_12(),
+    )
 }
 
 

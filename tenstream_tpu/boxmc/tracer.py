@@ -97,30 +97,52 @@ def _sample_on_face(key, face, bx, by, bz, n, rect=None):
 _SECTOR_CENTERS = [0.0, 1.5 * jnp.pi, jnp.pi, 0.5 * jnp.pi]  # +y, -x, -y, +x
 
 
-def _sample_lambertian(key, face, zsign, n, phi_sector=None):
+def _sample_lambertian(key, face, zsign, n, phi_sector=None, quadrant=None,
+                       mu_min=0.0, mu_max=1.0):
     """Lambertian directions about the inward normal of `face`;
-    optionally restricted to the up/down hemisphere (zsign).
+    optionally restricted to the up/down hemisphere (zsign), an azimuth
+    sector or tangential quadrant, and a mu window.
 
     Reference: `init_diff_photon_3_10` samples mu = sqrt(R) about the
     face normal (`src/boxmc_3_10.inc:191`) with azimuth windows selecting
-    the hemisphere (:244-254); flipping the z component gives the same
-    restricted distribution.
+    the hemisphere (:244-254); windowed mu = sqrt(interv_R(lo^2, hi^2))
+    as in `boxmc_3_30.inc:354-356`; quadrant windows are the 90-degree
+    phi intervals of `init_diff_photon_3_24`.
     """
     k1, k2 = jax.random.split(key)
-    mu = jnp.sqrt(jax.random.uniform(k1, (n,)))
+    u = jax.random.uniform(k1, (n,))
+    mu = jnp.sqrt(mu_min * mu_min + u * (mu_max * mu_max - mu_min * mu_min))
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
     if phi_sector is not None and face in (0, 1):
-        # azimuth restricted to a 90-degree sector
+        # azimuth restricted to a 90-degree sector about an axis
         # (reference `init_diff_photon_3_16` phi windows)
         phi = float(_SECTOR_CENTERS[phi_sector]) + (jax.random.uniform(k2, (n,)) - 0.5) * (0.5 * jnp.pi)
-        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
         dx_ = st * jnp.sin(phi)
         dy_ = st * jnp.cos(phi)
         dz_ = mu if face == 1 else -mu  # BOT sources go up, TOP go down
         return dx_, dy_, dz_
     phi = jax.random.uniform(k2, (n,)) * (2.0 * jnp.pi)
-    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
     a = st * jnp.cos(phi)
     b = st * jnp.sin(phi)
+    if quadrant is not None:
+        # force the tangential signs: q = 2*(t1<0) + (t2<0); the
+        # cosine-weighted distribution is azimuthally symmetric, so
+        # folding |.| keeps it correct within the quadrant
+        s1 = 1.0 if quadrant in (0, 1) else -1.0
+        s2 = 1.0 if quadrant in (0, 2) else -1.0
+        t1 = jnp.abs(a) * s1
+        t2 = jnp.abs(b) * s2
+        if face == 0:
+            return t1, t2, -mu
+        if face == 1:
+            return t1, t2, mu
+        if face == 2:
+            return mu, t1, t2
+        if face == 3:
+            return -mu, t1, t2
+        if face == 4:
+            return t1, mu, t2
+        return t1, -mu, t2
     if face == 0:
         d = (a, b, -mu)
     elif face == 1:
@@ -217,7 +239,8 @@ def run_boxmc(
         px, py, pz = _sample_on_face(kpos, spec.face, bx, by, bz, n_photons)
         dx, dy, dz = _sample_lambertian(
             kdir, spec.face, spec.zsign, n_photons,
-            phi_sector=getattr(spec, "phi_sector", None),
+            phi_sector=spec.phi_sector, quadrant=spec.quadrant,
+            mu_min=spec.mu_min, mu_max=spec.mu_max,
         )
 
     weights = jnp.ones((n_photons,), jnp.float32)
@@ -226,6 +249,17 @@ def run_boxmc(
 
     dir_table = jnp.asarray(scheme.dir_dst_by_face, jnp.int32)
     diff_table = jnp.asarray(scheme.diff_dst_by_face_zsign, jnp.int32)  # (6,2)
+
+    _fc_mode = _fc_tbl = None
+    if scheme.diff_face_class is not None:
+        _mode_ids = {"zsign": 0, "quad": 1, "quad_main": 2, "sector_main": 3,
+                     "ring": 4}
+        modes, tbl = [], []
+        for mode, dsts in scheme.diff_face_class:
+            modes.append(_mode_ids[mode])
+            tbl.append(list(dsts) + [0] * (5 - len(dsts)))
+        _fc_mode = jnp.asarray(modes, jnp.int32)
+        _fc_tbl = jnp.asarray(tbl, jnp.int32)  # (6, 5)
 
     T0 = jnp.zeros((scheme.ndir + 1,), jnp.float32)
     S0 = jnp.zeros((scheme.ndiff + 1,), jnp.float32)
@@ -259,7 +293,35 @@ def run_boxmc(
 
         up = dz > 0
         diff_dst = diff_table[face, up.astype(jnp.int32)]
-        if scheme.diff_top_sector_dst is not None:
+        if scheme.diff_face_class is not None:
+            # general per-face angular binning (quadrants / main streams;
+            # reference `update_diff_stream_3_24/_3_30/_8_18`)
+            t1 = jnp.where(face <= 1, dx, jnp.where(face <= 3, dy, dx))
+            t2 = jnp.where(face <= 1, dy, dz)
+            mu_n = jnp.where(
+                face <= 1, jnp.abs(dz),
+                jnp.where(face <= 3, jnp.abs(dx), jnp.abs(dy)),
+            )
+            quad = 2 * (t1 <= 0).astype(jnp.int32) + (t2 <= 0).astype(jnp.int32)
+            sector = jnp.where(
+                jnp.abs(t2) > jnp.abs(t1),
+                jnp.where(t2 > 0, 0, 2),
+                jnp.where(t1 > 0, 3, 1),
+            )
+            is_main = mu_n >= scheme.alim
+            col = jnp.take(_fc_mode, face)
+            col = jnp.select(
+                [col == 0, col == 1, col == 2, col == 3, col == 4],
+                [
+                    up.astype(jnp.int32),  # zsign
+                    quad,  # quad
+                    jnp.where(is_main, 0, 1 + quad),  # quad_main
+                    jnp.where(is_main, 0, 1 + sector),  # sector_main
+                    jnp.where(is_main, 0, 1),  # ring (mu split at alim)
+                ],
+            )
+            diff_dst = _fc_tbl[face, col]
+        elif scheme.diff_top_sector_dst is not None:
             # azimuth-sector binning of top/bot-face exits
             # (reference `update_diff_stream_3_16`)
             sector = jnp.where(

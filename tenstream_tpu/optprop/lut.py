@@ -258,6 +258,8 @@ def _trace_entries(
         use_pallas = _use_pallas_default()
     if ldir and box.dir_classify is not None:
         use_pallas = False  # positional classification: jnp tracer only (for now)
+    if box.diff_face_class is not None:
+        use_pallas = False  # angular-bin classification: jnp tracer only (for now)
 
     if use_pallas:
         from tenstream_tpu.boxmc.pallas_tracer import run_boxmc_pallas

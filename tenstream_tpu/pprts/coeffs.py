@@ -60,11 +60,12 @@ def _onedee_blocks(scheme: StreamScheme, a11, a12, a13, a23, a33):
     for t in range(ntd):
         dir2dir = dir2dir.at[t, t].set(a33)
 
+    wtop = scheme.difftop_weights()
     dir2diff = jnp.zeros((nd, nf) + shp, a11.dtype)
     for t in range(ntd):
         for d in range(scheme.difftop.dof):
             val = a23 if inward[d] else a13
-            dir2diff = dir2diff.at[t, d].set(val / scheme.difftop_streams)
+            dir2diff = dir2diff.at[t, d].set(val * float(wtop[d]))
 
     diff2diff = jnp.zeros((nf, nf) + shp, a11.dtype)
     for d in range(scheme.difftop.dof):

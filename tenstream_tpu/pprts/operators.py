@@ -102,9 +102,12 @@ def diffuse_scatter(
         ntop = scheme.difftop.dof
         dn = [d for d in range(ntop) if inward[d]]
         up = [d for d in range(ntop) if not inward[d]]
-        edn_sfc = sum(x[d, -1] for d in dn) / scheme.difftop_streams
+        wtop = scheme.difftop_weights()
+        edn_sfc = sum(x[d, -1] for d in dn)
         for d in up:
-            out = out.at[d, -1].add(albedo2d * edn_sfc)
+            # Lambertian reflection splits over the upward bins by their
+            # hemisphere fraction (non-even for main+sector schemes)
+            out = out.at[d, -1].add(albedo2d * edn_sfc * float(wtop[d]))
     return out
 
 
@@ -161,9 +164,10 @@ def direct_surface_reflection(
     b = jnp.zeros(
         (scheme.ndiff,) + edir.shape[1:], dtype=edir.dtype
     )
+    wtop = scheme.difftop_weights()
     for d in range(scheme.difftop.dof):
         if not inward[d]:
-            b = b.at[d, -1].add(edir_sfc * albedo2d / scheme.difftop_streams)
+            b = b.at[d, -1].add(edir_sfc * albedo2d * float(wtop[d]))
     return b
 
 

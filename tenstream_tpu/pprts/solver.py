@@ -214,7 +214,12 @@ class PprtsSolver:
             if buildings is not None:
                 from tenstream_tpu.pprts.buildings import building_sources
 
-                b = b + building_sources(scheme, buildings, edir, grid.az)
+                b = b + building_sources(
+                    scheme, buildings, edir, grid.az,
+                    dz3d=grid.dz3d, dx=grid.dx, dy=grid.dy,
+                    xinc=sun.xinc if (sun is not None and lsolar) else 1,
+                    yinc=sun.yinc if (sun is not None and lsolar) else 1,
+                )
 
             b_th = None
             if lthermal and planck is not None:

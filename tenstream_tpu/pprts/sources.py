@@ -58,18 +58,22 @@ def thermal_source(
     # reference :4906-4950: emis = 1 - sum(diff2diff(src, :))
     emis = jnp.clip(1.0 - diff2diff.sum(axis=1), 0.0, 1.0)  # (ndiff, Nz, Nx, Ny)
 
+    wtop = scheme.difftop_weights()
+    wside = scheme.diffside_weights()
+    ftop = scheme.diffside_bsrc_top()
     rows = []
     for d in range(scheme.ndiff):
         if d < ntop:
-            bfac = PI * az / scheme.difftop_streams
+            bfac = PI * az * float(wtop[d])
             val = (bbot if inward[d] else btop) * bfac * emis[d]
         else:
             side_pos = (d - ntop) % nside
             area = ax if d < ntop + nside else ay
-            bfac = PI * area / scheme.diffside_streams
-            # first half of the side group couples to bbot, second to btop
-            # (reference :4920-4924: iside > dof/2 -> btop)
-            bsrc = bbot if side_pos < nside // 2 else btop
+            bfac = PI * area * float(wside[side_pos])
+            # bins couple to the layer-bottom/-top Planck value by their
+            # z sense (reference :4920-4924: iside > dof/2 -> btop)
+            f = float(ftop[side_pos])
+            bsrc = bbot * (1.0 - f) + btop * f
             val = bsrc * bfac * emis[d]
             val = jnp.where(l1d_mask, 0.0, val)  # no side emission in 1-D layers
         rows.append(val)
@@ -83,6 +87,6 @@ def thermal_source(
         if not inward[d]:
             b = b.at[d, -1].add(
                 bsrfc * (dx * dy / scheme.difftop.area_divider)
-                * (1.0 - albedo2d) * PI / scheme.difftop_streams
+                * (1.0 - albedo2d) * PI * float(wtop[d])
             )
     return b

@@ -56,3 +56,47 @@ def test_building_masking_conserves_finiteness(opp_small):
     edir, edn, eup, abso = map(np.asarray, solver.get_result())
     for a in (edir, edn, eup, abso):
         assert np.isfinite(a).all()
+
+
+def test_building_side_wall_reflection_and_emission(opp_small):
+    import jax.numpy as jnp
+
+    nz, nx, ny = 6, 12, 12
+    grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+    ka = np.full((nz, nx, ny), 1e-5, np.float32)
+    ks = np.full((nz, nx, ny), 1e-5, np.float32)
+    g = np.zeros((nz, nx, ny), np.float32)
+
+    solid = np.zeros((nz, nx, ny), bool)
+    solid[2:, 6:8, 5:7] = True  # tower with west wall at x-face 6
+
+    # the sun stands at phi=90 -> photons travel -x and hit the tower's
+    # EAST wall (x-face 8)
+    solver = PprtsSolver(grid, opp_small)
+    solver.set_optical_properties(0.05, ka, ks, g)
+    solver.set_angles(sundir_from_angles(90.0, 60.0))
+    solver.set_buildings(Buildings(solid=jnp.asarray(solid), albedo=0.9))
+    solver.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, solver.get_result())
+    assert np.isfinite(edn).all() and np.isfinite(eup).all()
+    # the sunlit east wall reflects: columns just east of the tower see
+    # far more diffuse at wall height than the shadow side west of it
+    west = edn[3:, 5, 5:7].mean() + eup[3:, 5, 5:7].mean()
+    east = edn[3:, 9, 5:7].mean() + eup[3:, 9, 5:7].mean()
+    assert east > west * 1.2 and east > 50.0, (west, east)
+
+    # pure thermal: hot walls irradiate adjacent columns symmetrically
+    solver2 = PprtsSolver(grid, opp_small)
+    solver2.set_optical_properties(0.05, ka, ks, g)
+    solver2.set_angles(sundir_from_angles(0.0, 40.0))
+    hot = np.zeros((nz, nx, ny), np.float32)
+    hot[solid] = 10.0
+    solver2.set_buildings(
+        Buildings(solid=jnp.asarray(solid), albedo=0.1, planck=jnp.asarray(hot))
+    )
+    planck = np.zeros((nz + 1, nx, ny), np.float32)
+    solver2.solve(lthermal=True, lsolar=False)
+    _, edn2, eup2, _ = map(np.asarray, solver2.get_result())
+    near = edn2[4, 5, 5] + edn2[4, 8, 5]
+    far = edn2[4, 0, 0] + edn2[4, 11, 11]
+    assert near > far + 1.0, (near, far)

@@ -62,3 +62,35 @@ def test_xdmf_export(tmp_path):
     assert os.path.exists(str(tmp_path / "out_abso.bin"))
     raw = np.fromfile(str(tmp_path / "out_srfc_flux.bin"), np.float32)
     assert raw.shape == (64,) and (raw == 1.0).all()
+
+
+def test_ncwrite_ncload_roundtrip(tmp_path):
+    from tenstream_tpu.utils.io import ncinfo, ncload, ncwrite
+
+    path = str(tmp_path / "diag.nc")
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    ncwrite(path, "edir", a, dim_names=("z", "x"), attrs={"units": b"W/m2"})
+    ncwrite(path, "albedo", np.float64(0.2))
+    # second write with a shared dimension, first var preserved
+    ncwrite(path, "edn", 2 * a, dim_names=("z", "x"))
+    np.testing.assert_array_equal(ncload(path, "edir"), a)
+    np.testing.assert_array_equal(ncload(path, "edn"), 2 * a)
+    np.testing.assert_allclose(ncload(path, "albedo"), [0.2])
+    data, attrs = ncload(path, "edir", with_attrs=True)
+    assert attrs["units"] == b"W/m2"
+    info = ncinfo(path)
+    assert info["edir"] == (("z", "x"), (3, 4))
+    # replacing a variable keeps the others
+    ncwrite(path, "edir", 3 * a, dim_names=("z", "x"))
+    np.testing.assert_array_equal(ncload(path, "edir"), 3 * a)
+    np.testing.assert_array_equal(ncload(path, "edn"), 2 * a)
+    # bf16/int64 are cast to representable types
+    import jax.numpy as jnp
+
+    ncwrite(path, "halfprec", jnp.ones((2,), jnp.bfloat16))
+    assert ncload(path, "halfprec").dtype == np.float32
+    # dimension size conflicts are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        ncwrite(path, "bad", np.zeros((5,)), dim_names=("z",))
