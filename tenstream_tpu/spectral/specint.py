@@ -42,10 +42,17 @@ def _make_ecckd():
     return EcckdGasOptics()
 
 
+def _make_rrtmg_sw():
+    from tenstream_tpu.spectral.rrtmg_sw import RrtmgSwOptics
+
+    return RrtmgSwOptics()
+
+
 _BACKENDS = {
     "gray": GrayGasOptics,
     "synthck": SyntheticCKD,
     "ecckd": _make_ecckd,
+    "rrtmg_sw": _make_rrtmg_sw,
 }
 
 
