@@ -1,0 +1,256 @@
+"""Wedge transfer-coefficient tables (LUT) and batched lookups.
+
+Parity: reference `t_optprop_wedge` (`src/optprop.F90:150-173`) backed
+by `optprop_LUT` wedge tables with the `LUT_param_phi`
+re-parameterization for arbitrary triangle shapes.  Here the mesh
+triangles are all congruent (see `plexrt.mesh`), so a single canonical
+table over (tau, w0, aspect, g [, phi, theta]) suffices; the second
+mesh orientation evaluates at phi+180 and arbitrary azimuths wrap
+periodically — no shape parameterization needed.
+
+Tables are generated with the wedge Monte-Carlo tracer
+(`plexrt.wedge_boxmc`), cached as npz, validated for energy
+conservation like the cube LUTs (`optprop/lut.py`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tenstream_tpu.core.types import ireals
+from tenstream_tpu.ops.interp import fractional_index, interp_multilinear
+from tenstream_tpu.plexrt.wedge_boxmc import NDIFF, NDIR, run_wedge_boxmc
+
+_CACHE_VERSION = 2  # v2: downwind-source sanitization baked into tables
+N_DIR_SRC = 4  # top, AB, BC, CA (no bottom source for a downward sun)
+
+
+@dataclass(frozen=True)
+class WedgeAxes:
+    tau: np.ndarray
+    w0: np.ndarray
+    aspect: np.ndarray
+    g: np.ndarray
+    phi: Optional[np.ndarray] = None  # direct only, degrees in [0, 360]
+    theta: Optional[np.ndarray] = None
+
+    def hash(self) -> str:
+        h = hashlib.sha256()
+        for a in (self.tau, self.w0, self.aspect, self.g, self.phi, self.theta):
+            if a is not None:
+                h.update(np.asarray(a, np.float64).tobytes())
+        h.update(bytes([_CACHE_VERSION]))
+        return h.hexdigest()[:16]
+
+
+class WedgeLUT(NamedTuple):
+    daxes: WedgeAxes
+    faxes: WedgeAxes
+    dir2dir: np.ndarray  # (nt,nw,na,ng,nphi,nth, N_DIR_SRC, NDIR)
+    dir2diff: np.ndarray  # (..., N_DIR_SRC, NDIFF)
+    diff2diff: np.ndarray  # (nt,nw,na,ng, NDIFF, NDIFF)
+
+
+def test_axes() -> WedgeAxes:
+    return WedgeAxes(
+        tau=np.array([1e-10, 0.5, 3.0], np.float32),
+        w0=np.array([0.0, 0.9], np.float32),
+        aspect=np.array([0.4, 1.0, 2.5], np.float32),
+        g=np.array([0.0, 0.5], np.float32),
+        phi=np.linspace(0.0, 360.0, 7).astype(np.float32),
+        theta=np.array([0.0, 40.0, 75.0], np.float32),
+    )
+
+
+def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int):
+    """Vectorized tracing over the whole entry grid (vmapped)."""
+    grids = [axes.tau, axes.w0, axes.aspect, axes.g]
+    if ldir:
+        grids += [axes.phi, axes.theta]
+    mesh = np.meshgrid(*grids, indexing="ij")
+    flat = [jnp.asarray(m.ravel(), jnp.float32) for m in mesh]
+    n = flat[0].shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
+        jnp.arange(n)
+    )
+
+    if ldir:
+        fn = jax.vmap(
+            lambda k, t, w, a, gg, ph, th: run_wedge_boxmc(
+                k, src, True, t, w, gg, a, ph, th, n_photons=n_photons
+            )
+        )
+        T, S = fn(keys, flat[0], flat[1], flat[2], flat[3], flat[4], flat[5])
+    else:
+        fn = jax.vmap(
+            lambda k, t, w, a, gg: run_wedge_boxmc(
+                k, src, False, t, w, gg, a, n_photons=n_photons
+            )
+        )
+        T, S = fn(keys, flat[0], flat[1], flat[2], flat[3])
+    shp = tuple(len(g) for g in grids)
+    return np.asarray(T).reshape(shp + (NDIR,)), np.asarray(S).reshape(shp + (NDIFF,))
+
+
+def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray) -> None:
+    """Make downwind source rows interpolation-safe (in place).
+
+    A side face is a valid direct inflow only when the sun direction has
+    a positive inward component; at downwind (phi, theta) grid points the
+    traced "source" photons exit straight back out, producing self-exit
+    rows.  In exact arithmetic those rows receive zero flux, but
+    interpolation between a valid and a garbage grid point leaks the
+    self-exit back into the neighbor exchange (an energy-GAIN loop).
+    Fix: zero the geometrically impossible self-exit column and replace
+    every downwind grid point by its nearest valid phi (same theta), or
+    the nearest valid theta when an entire phi circle is invalid (e.g.
+    side faces at theta = 0).  Mirrors the role of the reference's
+    LUT_param_phi valid-range bookkeeping (`src/LUT_param_phi.F90`)."""
+    phis = np.deg2rad(np.asarray(daxes.phi, np.float64))
+    thetas = np.deg2rad(np.asarray(daxes.theta, np.float64))
+    PH, TH = np.meshgrid(phis, thetas, indexing="ij")
+    d = np.stack(
+        [np.sin(PH) * np.sin(TH), np.cos(PH) * np.sin(TH), -np.cos(TH)], axis=-1
+    )  # (nphi, nth, 3)
+    r2 = 1.0 / np.sqrt(2.0)
+    normals = [(0.0, 0.0, -1.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (r2, -r2, 0.0)]
+    self_dst = [0, 1, 2, 3]  # face of the src in the dir dst numbering
+
+    nphi, nth = len(phis), len(thetas)
+    for s, n in enumerate(normals):
+        d2d[..., s, self_dst[s]] = 0.0
+        valid = d @ np.asarray(n) > 1e-6  # (nphi, nth)
+        for it in range(nth):
+            v = valid[:, it]
+            if v.all() or not v.any():
+                continue
+            vi = np.where(v)[0]
+            for ip in np.where(~v)[0]:
+                # circular nearest valid phi
+                dist = np.minimum(np.abs(vi - ip), nphi - np.abs(vi - ip))
+                j = vi[np.argmin(dist)]
+                d2d[..., ip, it, s, :] = d2d[..., j, it, s, :]
+                d2f[..., ip, it, s, :] = d2f[..., j, it, s, :]
+        # fully-invalid theta rows (grazing): copy nearest valid theta
+        row_ok = valid.any(axis=0)
+        if row_ok.any() and not row_ok.all():
+            ok = np.where(row_ok)[0]
+            for it in np.where(~row_ok)[0]:
+                j = ok[np.argmin(np.abs(ok - it))]
+                d2d[..., :, it, s, :] = d2d[..., :, j, s, :]
+                d2f[..., :, it, s, :] = d2f[..., :, j, s, :]
+
+
+def create_wedge_lut(
+    daxes: WedgeAxes, faxes: WedgeAxes, n_photons: int = 5000,
+    seed: int = 0, verbose: bool = False,
+) -> WedgeLUT:
+    nd = tuple(len(a) for a in (daxes.tau, daxes.w0, daxes.aspect, daxes.g,
+                                daxes.phi, daxes.theta))
+    nf = tuple(len(a) for a in (faxes.tau, faxes.w0, faxes.aspect, faxes.g))
+    d2d = np.zeros(nd + (N_DIR_SRC, NDIR), np.float32)
+    d2f = np.zeros(nd + (N_DIR_SRC, NDIFF), np.float32)
+    f2f = np.zeros(nf + (NDIFF, NDIFF), np.float32)
+
+    for src in range(N_DIR_SRC):
+        if verbose:
+            print(f"wedge LUT dir src {src}/{N_DIR_SRC}", flush=True)
+        T, S = _trace_grid(daxes, src, True, n_photons, seed + src)
+        d2d[..., src, :] = T
+        d2f[..., src, :] = S
+    for src in range(NDIFF):
+        if verbose:
+            print(f"wedge LUT diff src {src}/{NDIFF}", flush=True)
+        _, S = _trace_grid(faxes, src, False, n_photons, seed + 100 + src)
+        f2f[..., src, :] = S
+
+    _sanitize_dir_tables(daxes, d2d, d2f)
+
+    # exact mirror symmetry of the right isoceles triangle about the
+    # axis through B: swaps AB <-> BC, fixes top/bot/CA.  Averaging the
+    # diffuse table with its mirror image halves the MC variance and
+    # makes the symmetry exact (cube analogue: `optprop/lut.py:
+    # symmetrize_tables`).
+    perm = np.array([0, 3, 4, 1, 2, 5, 6, 7])
+    f2f[:] = 0.5 * (f2f + f2f[..., perm, :][..., :, perm])
+
+    # phi is periodic: force the 360-degree column equal to 0 degrees
+    if np.isclose(daxes.phi[0], 0.0) and np.isclose(daxes.phi[-1], 360.0):
+        d2d[..., -1, :, :, :] = d2d[..., 0, :, :, :]
+        d2f[..., -1, :, :, :] = d2f[..., 0, :, :, :]
+
+    for name, t in (("dir2dir", d2d), ("dir2diff", d2f), ("diff2diff", f2f)):
+        assert np.isfinite(t).all(), f"wedge LUT {name} has non-finite entries"
+        rows = t.sum(-1)
+        assert (rows <= 1.0 + 1e-3).all(), f"wedge LUT {name} row sums exceed 1"
+    return WedgeLUT(daxes, faxes, d2d, d2f, f2f)
+
+
+def load_or_create_wedge_lut(
+    daxes: Optional[WedgeAxes] = None, faxes: Optional[WedgeAxes] = None,
+    n_photons: int = 5000, basename: Optional[str] = None, verbose: bool = False,
+) -> WedgeLUT:
+    daxes = daxes or test_axes()
+    faxes = faxes or WedgeAxes(daxes.tau, daxes.w0, daxes.aspect, daxes.g)
+    root = basename or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data", "luts",
+    )
+    key = hashlib.sha256(
+        (daxes.hash() + faxes.hash() + str(n_photons)).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(root, f"WEDGE_LUT_5_8_{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return WedgeLUT(daxes, faxes, z["dir2dir"], z["dir2diff"], z["diff2diff"])
+    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose)
+    os.makedirs(root, exist_ok=True)
+    np.savez_compressed(path, dir2dir=lut.dir2dir, dir2diff=lut.dir2diff,
+                        diff2diff=lut.diff2diff)
+    return lut
+
+
+class WedgeOptProp:
+    """Batched coefficient lookups on the wedge tables."""
+
+    def __init__(self, lut: WedgeLUT):
+        self.lut = lut
+        self._d2d = jnp.asarray(lut.dir2dir, ireals)
+        self._d2f = jnp.asarray(lut.dir2diff, ireals)
+        self._f2f = jnp.asarray(lut.diff2diff, ireals)
+
+    def _fracs(self, axes: WedgeAxes, tauz, w0, g, aspect):
+        return [
+            fractional_index(jnp.asarray(axes.tau, ireals), tauz),
+            fractional_index(jnp.asarray(axes.w0, ireals), w0),
+            fractional_index(jnp.asarray(axes.aspect, ireals), aspect),
+            fractional_index(jnp.asarray(axes.g, ireals), g),
+        ]
+
+    def diff_coeffs(self, tauz, w0, g, aspect):
+        """(..., NDIFF src, NDIFF dst)."""
+        fr = self._fracs(self.lut.faxes, tauz, w0, g, aspect)
+        return interp_multilinear(self._f2f, fr)
+
+    def dir_coeffs(self, tauz, w0, g, aspect, phi_deg, theta_deg):
+        """(..., N_DIR_SRC, NDIR) and (..., N_DIR_SRC, NDIFF).
+
+        phi wraps periodically; pass per-cell phi (the T1 orientation
+        adds 180 upstream)."""
+        ax = self.lut.daxes
+        phi = jnp.mod(jnp.asarray(phi_deg, ireals), 360.0)
+        fr = self._fracs(ax, tauz, w0, g, aspect) + [
+            fractional_index(jnp.asarray(ax.phi, ireals), phi),
+            fractional_index(jnp.asarray(ax.theta, ireals), jnp.asarray(theta_deg, ireals)),
+        ]
+        # broadcast the scalar angle fracs over the field shape
+        shp = jnp.broadcast_shapes(*[f.shape for f in fr])
+        fr = [jnp.broadcast_to(f, shp) for f in fr]
+        return interp_multilinear(self._d2d, fr), interp_multilinear(self._d2f, fr)

@@ -1,0 +1,266 @@
+"""Monte-Carlo photon tracing through a triangular wedge (prism).
+
+Parity: reference `src/boxmc_wedge_5_8.inc` (5 direct + 8 diffuse
+streams: top, 3 side faces split into down/up hemispheres, bottom) with
+the cube tracer's physics (`src/boxmc.F90`: Henyey-Greenstein
+scattering, implicit capture, roulette).
+
+Canonical prism: triangle A=(0,0), B=(dx,0), C=(dx,dy) extruded over
+z in [0, dz] — the lower-right triangle of a rectangle split along its
+diagonal.  The second mesh orientation (upper-left triangle) is this
+one rotated by 180 degrees, so its coefficients come from the same
+tables evaluated at phi+180 (see `plexrt.mesh`).
+
+Faces: 0 TOP (z=dz), 1 BOT (z=0), 2 side AB (y=0), 3 side BC (x=dx),
+4 side CA (the diagonal).  Diffuse dofs: [0 top, 2..7 = sides x
+(dn, up) interleaved per face, 7 bottom]:
+  [0: top(up-out), 1: AB dn, 2: AB up, 3: BC dn, 4: BC up,
+   5: CA dn, 6: CA up, 7: bot(dn-out)].
+Direct dofs = faces (0 top, 1..3 sides AB/BC/CA, 4 bottom-unused-src).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tenstream_tpu.boxmc.tracer import (
+    _BIG,
+    _ROULETTE_SURVIVE,
+    _WEIGHT_ROULETTE,
+    _hg_costheta,
+    _rotate_about,
+)
+
+NDIR = 5
+NDIFF = 8
+
+
+def _side_normals(bx, by):
+    """Inward unit normals of the 3 side planes (AB, BC, CA)."""
+    L = jnp.sqrt(bx * bx + by * by)
+    return (
+        (0.0, 1.0),  # AB: y = 0, inward +y
+        (-1.0, 0.0),  # BC: x = bx, inward -x
+        (by / L, -bx / L),  # CA: diagonal through origin, inward toward B
+    )
+
+
+def _sample_in_triangle(key, bx, by, n):
+    """Uniform points in triangle (0,0),(bx,0),(bx,by)."""
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (n,))
+    v = jax.random.uniform(k2, (n,))
+    # fold the unit square onto the triangle u >= v (x=u*bx, y=v*by)
+    swap = v > u
+    uu = jnp.where(swap, v, u)
+    vv = jnp.where(swap, u, v)
+    return uu * bx, vv * by
+
+
+def _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz):
+    """Distance to the prism boundary and the face id hit (0..4)."""
+
+    def plane_t(num, den):
+        den_safe = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        t = num / den_safe
+        return jnp.where((den < 1e-12), _BIG, jnp.maximum(t, 0.0))
+
+    t_top = plane_t(bz - pz, dz)
+    t_bot = plane_t(pz, -dz)
+    t_ab = plane_t(py, -dy)  # distance to y=0 moving with -dy
+    t_bc = plane_t(bx - px, dx)
+    # CA plane: by*x - bx*y = 0; photon leaves when it goes negative side
+    s = by * px - bx * py  # >= 0 inside
+    ds = by * dx - bx * dy
+    t_ca = plane_t(s, -ds)
+
+    ts = jnp.stack([t_top, t_bot, t_ab, t_bc, t_ca])
+    face = jnp.argmin(ts, axis=0).astype(jnp.int32)
+    tmin = jnp.min(ts, axis=0)
+    return tmin, face
+
+
+def _sample_on_wedge_face(key, face, bx, by, bz, n):
+    """Uniform positions on one of the 5 faces, nudged inside."""
+    eps = 1e-6
+    k1, k2 = jax.random.split(key)
+    if face == 0:
+        x, y = _sample_in_triangle(key, bx, by, n)
+        return x, y, jnp.full((n,), bz * (1 - eps))
+    if face == 1:
+        x, y = _sample_in_triangle(key, bx, by, n)
+        return x, y, jnp.full((n,), bz * eps)
+    u = jax.random.uniform(k1, (n,))
+    z = jax.random.uniform(k2, (n,)) * bz
+    if face == 2:  # AB: y=0
+        return u * bx, jnp.full((n,), by * eps * 0.5), z
+    if face == 3:  # BC: x=bx
+        return jnp.full((n,), bx * (1 - eps)), u * by, z
+    # CA diagonal: points (t*bx, t*by) nudged toward B
+    nx, ny = by, -bx
+    L = jnp.sqrt(bx * bx + by * by)
+    return u * bx + eps * bx * nx / L, u * by + eps * by * ny / L, z
+
+
+def _sample_lambertian_wedge(key, face, zsign, bx, by, n):
+    """Cosine-weighted directions about the inward normal of `face`;
+    side faces optionally restricted to the down/up hemisphere."""
+    k1, k2 = jax.random.split(key)
+    mu = jnp.sqrt(jax.random.uniform(k1, (n,)))
+    phi = jax.random.uniform(k2, (n,)) * (2.0 * jnp.pi)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - mu * mu))
+    a = st * jnp.cos(phi)
+    b = st * jnp.sin(phi)
+    if face == 0:
+        return a, b, -mu
+    if face == 1:
+        return a, b, mu
+    normals = _side_normals(bx, by)
+    nx, ny = normals[face - 2]
+    # local frame: normal=(nx,ny,0); tangent t=(-ny,nx,0); binormal=z
+    dxv = mu * nx - a * ny
+    dyv = mu * ny + a * nx
+    dzv = b
+    if zsign != 0:
+        dzv = jnp.where(zsign > 0, jnp.abs(dzv), -jnp.abs(dzv))
+    return dxv, dyv, dzv
+
+
+# diffuse source spec per dof: (face, zsign)
+_DIFF_SRCS = (
+    (0, 0),  # dof 0: enters through TOP going down
+    (2, -1), (2, +1),  # AB dn/up
+    (3, -1), (3, +1),  # BC
+    (4, -1), (4, +1),  # CA
+    (1, 0),  # dof 7: enters through BOT going up
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src", "ldir", "n_photons", "max_iter"),
+)
+def run_wedge_boxmc(
+    key,
+    src: int,
+    ldir: bool,
+    tauz,
+    w0,
+    g,
+    aspect,
+    phi_deg=0.0,
+    theta_deg=0.0,
+    dy_over_dx: float = 1.0,
+    n_photons: int = 10000,
+    max_iter: int = 3000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, S) transfer fractions for one wedge source.
+
+    aspect = dz/dx; tauz = kext*dz; phi is the azimuth of the photon
+    travel direction measured like the cube tracer (phi=0 -> +y,
+    phi=90 -> +x; the canonical sun octant restriction does NOT apply —
+    the wedge LUT keeps the full circle)."""
+    bx = jnp.asarray(1.0, jnp.float32)
+    by = jnp.asarray(dy_over_dx, jnp.float32)
+    bz = jnp.maximum(jnp.asarray(aspect, jnp.float32), 1e-6)
+    kext = jnp.asarray(tauz, jnp.float32) / bz
+    w0 = jnp.asarray(w0, jnp.float32)
+    g = jnp.asarray(g, jnp.float32)
+    ksca = w0 * kext
+    kabs = (1.0 - w0) * kext
+
+    kpos, kdir, kloop = jax.random.split(key, 3)
+    if ldir:
+        face = (0, 2, 3, 4, 1)[src]
+        px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
+        phi = jnp.deg2rad(jnp.asarray(phi_deg, jnp.float32))
+        theta = jnp.deg2rad(jnp.asarray(theta_deg, jnp.float32))
+        sx = jnp.sin(phi) * jnp.sin(theta)
+        sy = jnp.cos(phi) * jnp.sin(theta)
+        sz = -jnp.cos(theta)
+        dx = jnp.full((n_photons,), sx)
+        dy = jnp.full((n_photons,), sy)
+        dz = jnp.full((n_photons,), sz)
+    else:
+        face, zsign = _DIFF_SRCS[src]
+        px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
+        dx, dy, dz = _sample_lambertian_wedge(kdir, face, zsign, bx, by, n_photons)
+
+    weights = jnp.ones((n_photons,), jnp.float32)
+    alive = jnp.ones((n_photons,), bool)
+    scattered = jnp.zeros((n_photons,), bool)
+
+    # face -> diffuse dst (dn, up): top exit -> 0, bottom exit -> 7
+    diff_tbl = jnp.asarray([[0, 0], [7, 7], [1, 2], [3, 4], [5, 6]], jnp.int32)
+
+    T0 = jnp.zeros((NDIR + 1,), jnp.float32)
+    S0 = jnp.zeros((NDIFF + 1,), jnp.float32)
+
+    def cond(state):
+        i, _, st, T, S = state
+        return jnp.logical_and(i < max_iter, jnp.any(st[7]))
+
+    def body(state):
+        i, key, st, T, S = state
+        px, py, pz, dx, dy, dz, weights, alive, scattered = st
+        key, ks, kphi, kct, krou = jax.random.split(key, 5)
+
+        dmax, face = _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz)
+        u = jax.random.uniform(ks, (n_photons,), minval=1e-12)
+        s_free = jnp.where(ksca > 1e-12, -jnp.log(u) / jnp.maximum(ksca, 1e-12), _BIG)
+        travel = jnp.minimum(s_free, dmax)
+        weights = weights * jnp.exp(-kabs * travel)
+        px = px + dx * travel
+        py = py + dy * travel
+        pz = pz + dz * travel
+
+        exiting = alive & (s_free >= dmax)
+        up = dz > 0
+        diff_dst = diff_tbl[face, up.astype(jnp.int32)]
+        if ldir:
+            dir_dst = jnp.asarray([0, 4, 1, 2, 3], jnp.int32)[face]
+            as_direct = exiting & (~scattered)
+            as_diffuse = exiting & scattered
+            T = T.at[jnp.where(as_direct, dir_dst, NDIR)].add(
+                jnp.where(as_direct, weights, 0.0)
+            )
+            S = S.at[jnp.where(as_diffuse, diff_dst, NDIFF)].add(
+                jnp.where(as_diffuse, weights, 0.0)
+            )
+        else:
+            S = S.at[jnp.where(exiting, diff_dst, NDIFF)].add(
+                jnp.where(exiting, weights, 0.0)
+            )
+
+        scattering = alive & (s_free < dmax)
+        ct = _hg_costheta(jax.random.uniform(kct, (n_photons,)), g)
+        sphi = jax.random.uniform(kphi, (n_photons,)) * (2.0 * jnp.pi)
+        ndx, ndy, ndz = _rotate_about(dx, dy, dz, ct, sphi)
+        dx = jnp.where(scattering, ndx, dx)
+        dy = jnp.where(scattering, ndy, dy)
+        dz = jnp.where(scattering, ndz, dz)
+        scattered = scattered | scattering
+        alive = alive & (~exiting)
+
+        low = alive & (weights < _WEIGHT_ROULETTE)
+        surv = jax.random.uniform(krou, (n_photons,)) < _ROULETTE_SURVIVE
+        weights = jnp.where(low & surv, weights / _ROULETTE_SURVIVE, weights)
+        alive = alive & ((~low) | surv)
+
+        st = (px, py, pz, dx, dy, dz, weights, alive, scattered)
+        return (i + 1, key, st, T, S)
+
+    st0 = (px, py, pz, dx, dy, dz, weights, alive, scattered)
+    _, _, st, T, S = jax.lax.while_loop(cond, body, (0, kloop, st0, T0, S0))
+
+    leftover = jnp.sum(jnp.where(st[7], st[6], 0.0))
+    s_main = S[:NDIFF]
+    s_sum = jnp.sum(s_main)
+    s_main = jnp.where(s_sum > 0, s_main * (1.0 + leftover / jnp.maximum(s_sum, 1e-30)), s_main)
+
+    norm = 1.0 / float(n_photons)
+    return T[:NDIR] * norm, s_main * norm

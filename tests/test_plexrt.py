@@ -1,0 +1,114 @@
+"""plexrt wedge-mesh solver (reference `plexrt/plex_rt.F90` capability
+on the structured extruded-triangle grid)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tenstream_tpu.plexrt.mesh import fish_mesh
+from tenstream_tpu.plexrt.optprop import (
+    WedgeOptProp,
+    load_or_create_wedge_lut,
+)
+from tenstream_tpu.plexrt.solver import PlexrtSolver
+from tenstream_tpu.plexrt.wedge_boxmc import run_wedge_boxmc
+
+import os
+
+_LUTDIR = os.path.join(os.path.dirname(__file__), "data", "luts")
+
+
+def _sundir(phi_deg, theta_deg):
+    p, t = np.deg2rad(phi_deg), np.deg2rad(theta_deg)
+    return np.array([np.sin(p) * np.sin(t), np.cos(p) * np.sin(t), -np.cos(t)])
+
+
+@pytest.fixture(scope="module")
+def opp():
+    return WedgeOptProp(load_or_create_wedge_lut(n_photons=1500, basename=_LUTDIR))
+
+
+def test_wedge_tracer_invariants():
+    # transparent top source: down only, conserving
+    T, S = run_wedge_boxmc(jax.random.PRNGKey(0), 0, False, 1e-8, 0.0, 0.0, 1.0,
+                           n_photons=8000)
+    S = np.asarray(S)
+    np.testing.assert_allclose(S.sum(), 1.0, atol=2e-3)
+    assert S[0] < 1e-6 and S[[2, 4, 6]].max() < 1e-6
+    # conservative scattering conserves for every diffuse source
+    for src in range(8):
+        T, S = run_wedge_boxmc(jax.random.PRNGKey(src + 1), src, False,
+                               1.5, 1.0, 0.5, 1.0, n_photons=8000)
+        assert abs(float(np.asarray(S).sum()) - 1.0) < 8e-3
+    # vertical transparent beam: all out the bottom
+    T, S = run_wedge_boxmc(jax.random.PRNGKey(43), 0, True, 1e-8, 0.0, 0.0, 1.0,
+                           0.0, 0.0, n_photons=4000)
+    np.testing.assert_allclose(float(np.asarray(T)[4]), 1.0, atol=1e-3)
+
+
+def test_transparent_transport_exact(opp):
+    g = fish_mesh(5, 6, 6, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp)
+    z = np.full((5, 2, 6, 6), 1e-10, np.float32)
+    s.set_optical_properties(0.3, z, z, np.zeros_like(z))
+    s.set_angles(_sundir(30.0, 40.0))
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    # conservation is exact on the orientation-summed transport; the
+    # per-orientation split carries the MC noise of the phi vs phi+180
+    # table entries (independent samples at 1500 photons)
+    np.testing.assert_allclose(edir[-1].mean(), 1000.0, rtol=1e-3)
+    np.testing.assert_allclose(edir[-1], 1000.0, rtol=0.06)
+    np.testing.assert_allclose(eup[0].mean(), 300.0, rtol=3e-2)  # albedo 0.3
+    assert np.abs(abso).max() < 1e-3
+
+
+def test_solar_energy_balance(opp):
+    g = fish_mesh(5, 6, 6, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp)
+    ka = np.full((5, 2, 6, 6), 3e-4, np.float32)
+    ks = np.full((5, 2, 6, 6), 1e-3, np.float32)
+    gg = np.full((5, 2, 6, 6), 0.4, np.float32)
+    s.set_optical_properties(0.3, ka, ks, gg)
+    s.set_angles(_sundir(30.0, 40.0))
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    bal = (eup[0].mean() + (abso * 100.0).sum(0).mean()
+           + (edir[-1] + edn[-1] - eup[-1]).mean())
+    assert abs(bal - 1000.0) / 1000.0 < 0.01, bal
+    # horizontally uniform scene -> translation-invariant fluxes
+    assert edn[-1].std() / max(edn[-1].mean(), 1e-6) < 0.02
+
+
+def test_thermal_isothermal(opp):
+    g = fish_mesh(6, 4, 4, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp)
+    ka = np.full((6, 2, 4, 4), 5e-3, np.float32)
+    pl = np.full((7, 2, 4, 4), 3.0, np.float32)
+    s.set_optical_properties(0.0, ka, np.zeros_like(ka), np.zeros_like(ka), planck=pl)
+    s.set_angles(_sundir(0.0, 40.0))
+    sol = s.solve(lthermal=True, lsolar=False)
+    _, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    assert sol.edir is None
+    np.testing.assert_allclose(eup[0].mean(), np.pi * 3.0, rtol=0.03)
+    assert abs(edn[0]).max() < 1e-4
+    # deep layers near radiative equilibrium
+    assert np.abs(abso[-1]).max() * 100.0 < 0.1
+
+
+def test_cloud_shadow(opp):
+    """A cloudy block shades the triangles below it."""
+    g = fish_mesh(5, 8, 8, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp)
+    ka = np.full((5, 2, 8, 8), 1e-5, np.float32)
+    ks = np.full((5, 2, 8, 8), 1e-5, np.float32)
+    gg = np.full((5, 2, 8, 8), 0.3, np.float32)
+    ks[1:3, :, 3:5, 3:5] += 0.05  # optically thick cloud
+    s.set_optical_properties(0.1, ka, ks, gg)
+    s.set_angles(_sundir(0.0, 1e-3))  # overhead
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    assert edir[-1, :, 3:5, 3:5].max() < 50.0  # shadow
+    assert edir[-1, :, 0, 0].min() > 950.0  # clear columns
+    # cloud top clearly brighter than the clear-sky ground reflection
+    assert eup[0, :, 3:5, 3:5].mean() > 1.4 * eup[0, :, 0, 0].mean()
