@@ -112,3 +112,31 @@ def test_cloud_shadow(opp):
     assert edir[-1, :, 0, 0].min() > 950.0  # clear columns
     # cloud top clearly brighter than the clear-sky ground reflection
     assert eup[0, :, 3:5, 3:5].mean() > 1.4 * eup[0, :, 0, 0].mean()
+
+
+def test_specint_plexrt(opp):
+    """Spectral integration on the wedge solver (reference
+    `specint/specint_plexrt.F90`): ecCKD SW subset over a cloud."""
+    from tenstream_tpu.atm import setup_standard_atmosphere
+    from tenstream_tpu.spectral.specint_plexrt import specint_plexrt
+
+    atm = setup_standard_atmosphere(nlay=12, ztop=12e3)
+    g = fish_mesh(atm.nlay, 4, 4, 500.0, 500.0, np.asarray(atm.dz, np.float32))
+    s = PlexrtSolver(g, opp)
+    s.set_angles(_sundir(20.0, 30.0))
+    lwc = np.zeros((atm.nlay, 2, 4, 4), np.float32)
+    lwc[8, :, 1:3, 1:3] = 0.3
+    res = specint_plexrt(s, atm, 0.2, lthermal=False, lsolar=True,
+                         specint="ecckd", lwc=lwc,
+                         reliq=np.full_like(lwc, 10.0), max_gpt=3)
+    edir = np.asarray(res.edir)
+    abso = np.asarray(res.abso)
+    assert np.isfinite(edir).all() and np.isfinite(abso).all()
+    assert edir[0].std() < 1e-3  # uniform TOA
+    # the cloud extinguishes the beam below it
+    assert edir[9, :, 1:3, 1:3].mean() < 0.5 * edir[9, :, 0, 0].mean()
+    # thermal path exercises per-gpt Planck broadcast
+    res2 = specint_plexrt(s, atm, 0.05, lthermal=True, lsolar=False,
+                          specint="ecckd", max_gpt=3)
+    assert np.isfinite(np.asarray(res2.eup)).all()
+    assert np.asarray(res2.eup)[0].mean() > 1.0  # nonzero OLR contribution
