@@ -97,6 +97,15 @@ class PprtsSolver:
     # ------------------------------------------------------------------
     def set_angles(self, sundir) -> None:
         self.sun = suninfo_from_sundir(sundir)
+        self._sundir_raw = jnp.asarray(sundir, ireals)
+
+    def set_terrain(self, h_srfc) -> None:
+        """Surface height field (Nx, Ny) [m] for terrain-following
+        grids.  With `-pprts_geometric_coeffs`, the direct transfer
+        blocks are computed analytically on the tilted cells
+        (reference `-pprts_geometric_coeffs`, `src/pprts.F90:3037`)."""
+        self._h_srfc = jnp.asarray(h_srfc, ireals)
+        self._solve_cache.clear()
 
     def set_buildings(self, buildings) -> None:
         """Attach a `tenstream_tpu.pprts.buildings.Buildings` instance
@@ -175,6 +184,7 @@ class PprtsSolver:
 
         buildings = self._buildings
         compress_coeffs = self.options.get_bool("pprts_coeff_bf16", True)
+        use_geometric = self.options.get_bool("pprts_geometric_coeffs", False)
 
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0, omega0):
@@ -182,6 +192,26 @@ class PprtsSolver:
                 scheme, opp, kabs, ksca, g, grid.dz3d, grid.dx, l1d,
                 sun, need_dir=lsolar,
             )
+            if (
+                use_geometric and lsolar and sun is not None and sun.sun_up
+                and coeffs.dir2dir is not None and scheme.dirtop.dof == 1
+            ):
+                # terrain-tilted analytic direct transport replaces the
+                # cuboid LUT dir2dir (reference -pprts_geometric_coeffs)
+                from tenstream_tpu.pprts.geometric import (
+                    dir2dir_geometric,
+                    zlev_from_dz,
+                )
+
+                zlev = zlev_from_dz(grid.dz3d, getattr(self, "_h_srfc", None))
+                dd_geo = dir2dir_geometric(
+                    zlev, grid.dx, grid.dy, self._sundir_raw, kabs + ksca,
+                )
+                mask = jnp.asarray(l1d, bool)[None, None, :, None, None]
+                from tenstream_tpu.pprts.coeffs import CoeffFields as _CFg
+
+                dd1_diag = jnp.where(mask, coeffs.dir2dir, dd_geo)
+                coeffs = _CFg(dd1_diag, coeffs.dir2diff, coeffs.diff2diff)
             if buildings is not None:
                 from tenstream_tpu.pprts.buildings import mask_coeffs
 
