@@ -34,8 +34,38 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.sparse.linalg import bicgstab
 
-from tenstream_tpu.pprts.operators import diffuse_scatter
+from tenstream_tpu.pprts.operators import add_surface_reflection, diffuse_scatter
 from tenstream_tpu.streams import StreamScheme
+
+
+def _pick_tx(nx: int) -> int:
+    for tx in (4, 2, 1):
+        if nx % tx == 0:
+            return tx
+    return 1
+
+
+def _make_apply(scheme, coeff, albedo2d, use_pallas: bool, shape):
+    """The diffuse transport operator S(x), either the XLA
+    gather->einsum->scatter path or the fused Pallas kernel
+    (`pprts/pallas_ops.py`; option `-pprts_pallas_diffuse`)."""
+    if not use_pallas:
+        return lambda x: diffuse_scatter(scheme, coeff, x, albedo2d)
+
+    from tenstream_tpu.pprts.pallas_ops import (
+        diffuse_apply_pallas,
+        prepare_coeff_pallas,
+    )
+
+    cprep = prepare_coeff_pallas(coeff)
+    tx = _pick_tx(shape[2])
+    interp = jax.default_backend() != "tpu"  # interpret off-TPU
+
+    def apply(x):
+        out = diffuse_apply_pallas(scheme, cprep, x, tx=tx, interpret=interp)
+        return add_surface_reflection(scheme, out, x, albedo2d)
+
+    return apply
 
 
 def vertical_line_solve(
@@ -118,7 +148,7 @@ def default_tolerances(n_unknowns: int, unconstrained_fraction: float = 1.0):
 
 @partial(
     jax.jit,
-    static_argnames=("scheme", "max_iter", "precond"),
+    static_argnames=("scheme", "max_iter", "precond", "use_pallas"),
 )
 def solve_richardson(
     scheme: StreamScheme,
@@ -131,6 +161,7 @@ def solve_richardson(
     atol: float = 1e-8,
     max_iter: int = 3000,
     precond: bool = True,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive-omega (preconditioned) Richardson iteration:
         x <- x + omega * M^-1 (b + S x - x)
@@ -140,6 +171,7 @@ def solve_richardson(
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     use_line = precond and scheme.difftop.dof == 2
+    S_apply = _make_apply(scheme, coeff, albedo2d, use_pallas, b.shape)
 
     # NOTE deviation from the reference bounds [1, 1.25]
     # (`src/pprts_explicit.F90:530-533`): those are safe for Gauss-Seidel
@@ -155,7 +187,7 @@ def solve_richardson(
 
     def body(state):
         it, x, res, res0, res_prev2, omega, omega_dir, omega_step, log_rate_prev = state
-        r = b + diffuse_scatter(scheme, coeff, x, albedo2d) - x
+        r = b + S_apply(x) - x
         res_new = jnp.linalg.norm(r.ravel())
         z = vertical_line_solve(scheme, coeff, r, albedo2d) if use_line else r
         x_new = x + omega * z
@@ -196,7 +228,7 @@ def solve_richardson(
     return x, it, omega_final
 
 
-@partial(jax.jit, static_argnames=("scheme", "maxiter", "precond"))
+@partial(jax.jit, static_argnames=("scheme", "maxiter", "precond", "use_pallas"))
 def solve_bicgstab(
     scheme: StreamScheme,
     coeff: jnp.ndarray,
@@ -207,11 +239,16 @@ def solve_bicgstab(
     atol: float = 1e-8,
     maxiter: int = 1000,
     precond: bool = True,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Matrix-free BiCGStab on A(x) = x - S(x), optionally with the
     vertical-line preconditioner (the analogue of the reference's
     KSPFBCGS + ILU/SOR default, `src/pprts.F90:4311-4437`)."""
 
+    # NOTE: jax's bicgstab (lax.custom_linear_solve) must be able to
+    # TRANSPOSE the operator, which a pallas_call cannot provide — the
+    # fused kernel option therefore only applies to the Richardson
+    # solver; BiCGStab always uses the (transposable) XLA operator.
     def A(x):
         return x - diffuse_scatter(scheme, coeff, x, albedo2d)
 
@@ -230,6 +267,7 @@ def solve_bicgstab(
         xr, _, _ = solve_richardson(
             scheme, coeff, b, albedo2d, x0=x0, rtol=rtol, atol=atol,
             max_iter=min(maxiter, 2000), precond=precond,
+            use_pallas=use_pallas,
         )
         return xr
 

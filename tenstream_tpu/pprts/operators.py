@@ -94,20 +94,25 @@ def diffuse_scatter(
     surface reflection closure.
     """
     src = gather_diff_src(scheme, x)
-    contrib = jnp.einsum("sdkij,skij->dkij", coeff, src)
+    contrib = jnp.einsum("sdkij,skij->dkij", coeff.astype(x.dtype), src)
     out = scatter_diff_dst(scheme, contrib, x.shape[1] - 1)
-
     if albedo2d is not None:
-        inward = scheme.diff_inward()
-        ntop = scheme.difftop.dof
-        dn = [d for d in range(ntop) if inward[d]]
-        up = [d for d in range(ntop) if not inward[d]]
-        wtop = scheme.difftop_weights()
-        edn_sfc = sum(x[d, -1] for d in dn)
-        for d in up:
-            # Lambertian reflection splits over the upward bins by their
-            # hemisphere fraction (non-even for main+sector schemes)
-            out = out.at[d, -1].add(albedo2d * edn_sfc * float(wtop[d]))
+        out = add_surface_reflection(scheme, out, x, albedo2d)
+    return out
+
+
+def add_surface_reflection(scheme: StreamScheme, out, x, albedo2d):
+    """Lambertian surface closure (Eup_sfc += albedo * Edn_sfc), split
+    over the upward bins by hemisphere fraction (reference
+    `set_albedo_coeff`, `src/pprts.F90:5755`)."""
+    inward = scheme.diff_inward()
+    ntop = scheme.difftop.dof
+    dn = [d for d in range(ntop) if inward[d]]
+    up = [d for d in range(ntop) if not inward[d]]
+    wtop = scheme.difftop_weights()
+    edn_sfc = sum(x[d, -1] for d in dn)
+    for d in up:
+        out = out.at[d, -1].add(albedo2d * edn_sfc * float(wtop[d]))
     return out
 
 

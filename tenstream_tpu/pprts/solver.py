@@ -185,6 +185,10 @@ class PprtsSolver:
         buildings = self._buildings
         compress_coeffs = self.options.get_bool("pprts_coeff_bf16", True)
         use_geometric = self.options.get_bool("pprts_geometric_coeffs", False)
+        # fused Pallas diffuse operator (pprts/pallas_ops.py); measured
+        # slower than the XLA path on v5e at current block sizes, so off
+        # by default — kept as an option for future tuning
+        use_pallas_diff = self.options.get_bool("pprts_pallas_diffuse", False)
 
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0, omega0):
@@ -264,6 +268,7 @@ class PprtsSolver:
                 ediff = solve_bicgstab(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
                     rtol=rtol, atol=atol, maxiter=max_iter, precond=precond,
+                    use_pallas=use_pallas_diff,
                 )
                 niter = jnp.asarray(0)
                 omega = omega0
@@ -271,7 +276,7 @@ class PprtsSolver:
                 ediff, niter, omega = solve_richardson(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
                     omega0=omega0, rtol=rtol, atol=atol, max_iter=max_iter,
-                    precond=precond,
+                    precond=precond, use_pallas=use_pallas_diff,
                 )
 
             abso = calc_flx_div(
