@@ -48,11 +48,18 @@ def _make_rrtmg_sw():
     return RrtmgSwOptics()
 
 
+def _make_repwvl():
+    from tenstream_tpu.spectral.repwvl import RepwvlOptics
+
+    return RepwvlOptics()
+
+
 _BACKENDS = {
     "gray": GrayGasOptics,
     "synthck": SyntheticCKD,
     "ecckd": _make_ecckd,
     "rrtmg_sw": _make_rrtmg_sw,
+    "repwvl": _make_repwvl,
 }
 
 
