@@ -226,6 +226,61 @@ class EcckdGasOptics:
         tau = gi(kext_g) * lwp[None]
         return tau, gi(w0_g), gi(g_g)
 
+    def _ice_tables(self, kind: str):
+        """(reff_grid [um], kext, w0, g) per gpt from the Fu-Muskatel
+        rough-ice table, spectrally averaged with `gpoint_fraction`
+        exactly like the droplet path (`_cloud_tables`)."""
+        cache = getattr(self, "_ice_cache", {})
+        if kind in cache:
+            return cache[kind]
+        tb = _load(kind, self.n_gpt, self.data_dir)
+        mie = np.load(os.path.join(self.data_dir, "fu-muskatel-rough_ice_scattering.npz"))
+        wvn_mid = 0.5 * (tb.z["wavenumber1"] + tb.z["wavenumber2"])
+        gfrac = tb.z["gpoint_fraction"]
+        wnorm = gfrac / np.maximum(gfrac.sum(1, keepdims=True), 1e-30)
+
+        mw = mie["wavenumber"]
+        order = np.argsort(mw)
+
+        def onto(arr2):
+            return np.stack(
+                [np.interp(wvn_mid, mw[order], row[order]) for row in arr2], 0
+            )
+
+        kext = onto(mie["mass_extinction_coefficient"])
+        w0 = onto(mie["single_scattering_albedo"])
+        g = onto(mie["asymmetry_factor"])
+        kext_g = wnorm @ kext.T
+        ksca_g = wnorm @ (kext * w0).T
+        kscg_g = wnorm @ (kext * w0 * g).T
+        w0_g = ksca_g / np.maximum(kext_g, 1e-30)
+        g_g = kscg_g / np.maximum(ksca_g, 1e-30)
+        out = (
+            mie["effective_radius"] * 1e6,
+            kext_g.astype(np.float32), w0_g.astype(np.float32),
+            g_g.astype(np.float32),
+        )
+        cache[kind] = out
+        self._ice_cache = cache
+        return out
+
+    def ice_optprops_gpt(self, kind: str, iwc_gm3, reice_um, dz_m):
+        """Per-gpoint ice-cloud (tau, w0, g), shapes (ngpt, *grid)."""
+        reff_grid, kext_g, w0_g, g_g = self._ice_tables(kind)
+        iwp = jnp.asarray(iwc_gm3, ireals) * 1e-3 * jnp.asarray(dz_m, ireals)  # kg/m2
+        from tenstream_tpu.ops.interp import fractional_index
+
+        fr = fractional_index(jnp.asarray(reff_grid, ireals), jnp.asarray(reice_um, ireals))
+        i0 = jnp.clip(jnp.floor(fr), 0, len(reff_grid) - 2).astype(jnp.int32)
+        w = (fr - i0)[None]
+
+        def gi(tbl):
+            t = jnp.asarray(tbl, ireals)
+            return t[:, i0] * (1 - w) + t[:, i0 + 1] * w
+
+        tau = gi(kext_g) * iwp[None]
+        return tau, gi(w0_g), gi(g_g)
+
     def thermal(self, atm: Atmosphere) -> SpectralOptProps:
         tb = _load("lw", self.n_gpt, self.data_dir)
         tau = self._gas_tau(tb, atm)

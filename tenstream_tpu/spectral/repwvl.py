@@ -252,3 +252,20 @@ class RepwvlOptics:
         # ext [km^-1/(g/m^3)] * lwc [g/m3] * dz [m] * 1e-3
         tau = gi(ext) * jnp.asarray(lwc_gm3, ireals)[None] * jnp.asarray(dz_m, ireals)[None] * 1e-3
         return tau, gi(ssa), gi(gg)
+
+    def ice_optprops_gpt(self, kind: str, iwc_gm3, reice_um, dz_m):
+        """Per-wavelength Fu ice optics (reference couples Fu96/Fu98 the
+        same way, `repwvl_optprop.F90:164-181`)."""
+        import jax.numpy as jnp
+
+        from tenstream_tpu.core.types import ireals
+        from tenstream_tpu.spectral.fu_ice import fu_ice_optprop
+
+        tb = self._load("sw" if kind == "sw" else "lw")
+        kext, w0, g = fu_ice_optprop(
+            tb["wvl"] * 1e-3, np.asarray(reice_um), solar=(kind == "sw")
+        )
+        tau = (jnp.asarray(kext, ireals)
+               * jnp.asarray(iwc_gm3, ireals)[None]
+               * jnp.asarray(dz_m, ireals)[None])
+        return tau, jnp.asarray(w0, ireals), jnp.asarray(g, ireals)

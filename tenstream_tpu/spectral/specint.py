@@ -155,6 +155,8 @@ def specint_pprts(
     specint: str = "synthck",
     lwc=None,
     reliq=None,
+    iwc=None,
+    reice=None,
     band_chunk: int = 16,
     albedo_2d=None,
     time: Optional[float] = None,
@@ -196,9 +198,17 @@ def specint_pprts(
             else jnp.full((nz, nx, ny), 10.0, ireals)
         )
 
+    has_gpt_ice = iwc is not None and hasattr(backend, "ice_optprops_gpt")
+    if iwc is not None:
+        reice_cells = (
+            jnp.asarray(reice, ireals)
+            if reice is not None
+            else jnp.full((nz, nx, ny), 30.0, ireals)
+        )
+
     def batched_fields(sp: SpectralOptProps, kind: str = "sw"):
-        """Broadcast the column gas props to 3-D and merge clouds
-        (per-gpoint Mie optics when the backend provides them)."""
+        """Broadcast the column gas props to 3-D and merge liquid + ice
+        clouds (per-gpoint optics when the backend provides them)."""
         tau_g = jnp.asarray(sp.tau, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
         w0_g = jnp.asarray(sp.w0, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
         g_g = jnp.asarray(sp.g, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
@@ -209,6 +219,11 @@ def specint_pprts(
         else:
             tc, wc, gc = tau_c[None], w0_c[None], g_c[None]
         tau, w0, g = _merge_cloud(tau_g, w0_g, g_g, tc, wc, gc)
+        if has_gpt_ice:
+            ti, wi, gi = backend.ice_optprops_gpt(
+                kind, jnp.asarray(iwc, ireals), reice_cells, dz3d
+            )
+            tau, w0, g = _merge_cloud(tau, w0, g, ti, wi, gi)
         kabs, ksca, g = _to_kfields(tau, w0, g, dz3d[None])
         return delta_scale(kabs, ksca, g)
 

@@ -74,3 +74,41 @@ def test_clear_sky_fluxes_2str():
     assert 200.0 < sfc_lw_dn < 400.0, sfc_lw_dn
     assert np.isfinite(np.asarray(sw.abso)).all()
     assert np.isfinite(np.asarray(lw.abso)).all()
+
+
+def test_ice_clouds_specint():
+    """Ice-cloud coupling (Fu-Muskatel per-gpt for ecCKD, Fu96/98 bands
+    for repwvl): a cirrus layer dims the surface solar flux and raises
+    reflection."""
+    import numpy as np
+
+    from tenstream_tpu.atm import setup_standard_atmosphere
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral.specint import specint_pprts
+
+    atm = setup_standard_atmosphere(nlay=24, ztop=24e3)
+    nx = ny = 4
+    iwc = np.zeros((atm.nlay, nx, ny), np.float32)
+    iwc[10, 1:3, 1:3] = 0.03  # cirrus
+    reice = np.full((atm.nlay, nx, ny), 30.0, np.float32)
+    grid = Grid.create(atm.nlay, nx, ny, 100.0, 100.0, np.asarray(atm.dz, np.float32))
+
+    for backend in ("ecckd", "repwvl"):
+        solver = PprtsSolver(grid, solver_type="2str")
+        solver.set_angles(sundir_from_angles(0.0, 30.0))
+        clear = specint_pprts(solver, atm, albedo=0.1, lsolar=True,
+                              lthermal=False, specint=backend)
+        cloudy = specint_pprts(solver, atm, albedo=0.1, lsolar=True,
+                               lthermal=False, specint=backend,
+                               iwc=iwc, reice=reice)
+        e_clear = np.asarray(clear.edir)[-1, 1, 1]
+        e_cloud = np.asarray(cloudy.edir)[-1, 1, 1]
+        assert e_cloud < 0.6 * e_clear, (backend, e_cloud, e_clear)
+        assert np.asarray(cloudy.eup)[0, 1, 1] > np.asarray(clear.eup)[0, 1, 1]
+        # thermal path with ice is finite and cools cloud top
+        lw = specint_pprts(solver, atm, albedo=0.05, lsolar=False,
+                           lthermal=True, specint=backend,
+                           iwc=iwc, reice=reice)
+        assert np.isfinite(np.asarray(lw.abso)).all(), backend
