@@ -157,6 +157,9 @@ def specint_pprts(
     reliq=None,
     iwc=None,
     reice=None,
+    extra_tau=None,
+    extra_w0=None,
+    extra_g=None,
     band_chunk: int = 16,
     albedo_2d=None,
     time: Optional[float] = None,
@@ -224,6 +227,14 @@ def specint_pprts(
                 kind, jnp.asarray(iwc, ireals), reice_cells, dz3d
             )
             tau, w0, g = _merge_cloud(tau, w0, g, ti, wi, gi)
+        if extra_tau is not None:
+            # spectrally-gray extra optical properties (aerosol layers,
+            # vegetation canopies — reference `opt_tau/w0/g` inputs of
+            # specint_pprts and `vegetation_optprop.F90`)
+            te = jnp.asarray(extra_tau, ireals)
+            we = jnp.zeros_like(te) if extra_w0 is None else jnp.asarray(extra_w0, ireals)
+            ge = jnp.zeros_like(te) if extra_g is None else jnp.asarray(extra_g, ireals)
+            tau, w0, g = _merge_cloud(tau, w0, g, te[None], we[None], ge[None])
         kabs, ksca, g = _to_kfields(tau, w0, g, dz3d[None])
         return delta_scale(kabs, ksca, g)
 

@@ -85,3 +85,49 @@ def test_specint_cloud_effect(opp_small):
     # cloud reflects: more TOA upwelling, less surface direct
     assert np.asarray(cloudy.eup)[0].mean() > np.asarray(clear.eup)[0].mean() * 1.5
     assert np.asarray(cloudy.edir)[-1].mean() < np.asarray(clear.edir)[-1].mean() * 0.5
+
+
+def test_mcica_subcolumns():
+    """Raisanen max-random overlap statistics (reference
+    `mcica_subcol_gen_lw.f90`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tenstream_tpu.spectral.mcica import mcica_subcolumns
+
+    f = jnp.asarray(np.array([0.0, 0.5, 0.5, 0.2, 0.0], np.float32)[:, None])
+    m = np.asarray(mcica_subcolumns(jax.random.PRNGKey(0), f, 4000))
+    np.testing.assert_allclose(m.mean(axis=(0, 2)), [0, 0.5, 0.5, 0.2, 0], atol=0.02)
+    # adjacent cloudy layers overlap maximally, not randomly
+    assert (m[:, 1] & m[:, 2]).mean() > 0.45
+    # random overlap reproduces the product probability
+    mr = np.asarray(mcica_subcolumns(jax.random.PRNGKey(1), f, 4000, overlap="random"))
+    assert abs((mr[:, 1] & mr[:, 2]).mean() - 0.25) < 0.03
+
+
+def test_specint_extra_tau():
+    """Gray extra optical properties (aerosol/vegetation hook of the
+    reference specint API)."""
+    from tenstream_tpu.atm import setup_standard_atmosphere
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral.specint import specint_pprts
+
+    atm = setup_standard_atmosphere(nlay=16, ztop=16e3)
+    nx = ny = 2
+    grid = Grid.create(atm.nlay, nx, ny, 100.0, 100.0, np.asarray(atm.dz, np.float32))
+    solver = PprtsSolver(grid, solver_type="2str")
+    solver.set_angles(sundir_from_angles(0.0, 30.0))
+    clear = specint_pprts(solver, atm, albedo=0.1, lsolar=True, lthermal=False,
+                          specint="ecckd")
+    aer_tau = np.zeros((atm.nlay, nx, ny), np.float32)
+    aer_tau[12] = 0.5  # an absorbing aerosol layer
+    hazy = specint_pprts(solver, atm, albedo=0.1, lsolar=True, lthermal=False,
+                         specint="ecckd", extra_tau=aer_tau,
+                         extra_w0=np.full_like(aer_tau, 0.9),
+                         extra_g=np.full_like(aer_tau, 0.7))
+    e_clear = float(np.asarray(clear.edir)[-1].mean())
+    e_hazy = float(np.asarray(hazy.edir)[-1].mean())
+    assert e_hazy < 0.75 * e_clear, (e_hazy, e_clear)
+    assert np.isfinite(np.asarray(hazy.abso)).all()
