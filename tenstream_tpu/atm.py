@@ -76,13 +76,13 @@ def load_atmfile(path: str) -> Dict[str, np.ndarray]:
     (reference `load_atmfile`, `src/tenstr_atm.F90:776`:
     columns z[km] p[hPa] T[K] air[1/cm3] o3 o2 h2o co2 no2 [1/cm3])."""
     raw = np.loadtxt(path, comments="#")
-    cols = ["z", "p", "T", "air", "o3", "o2", "h2o", "co2", "no2"]
+    cols = ["z", "p", "T", "air", "o3", "o2", "h2o", "co2", "no2", "n2o", "ch4"]
     out = {}
     for i, c in enumerate(cols[: raw.shape[1]]):
         out[c] = raw[:, i]
     out["z"] = out["z"] * 1e3  # km -> m
     out["p"] = out["p"] * 1e2  # hPa -> Pa
-    for gas in ("o3", "o2", "h2o", "co2", "no2"):
+    for gas in ("o3", "o2", "h2o", "co2", "no2", "n2o", "ch4"):
         if gas in out:
             out[gas] = out[gas] / out["air"]  # number density -> vmr
     out["air"] = out["air"] * 1e6  # 1/cm3 -> 1/m3

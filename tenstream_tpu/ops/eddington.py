@@ -38,6 +38,12 @@ def eddington_coeff_ec(dtau, w0, g, mu0):
     dtau, w0, g, mu0 = jnp.broadcast_arrays(dtau, w0, g, mu0)
 
     eps = jnp.finfo(ireals).eps
+    # conservative-scattering guard: at w0 == 1 exactly, g1 - g2 = 0 and
+    # the two-stream eigenvalue degenerates (A -> 0), poisoning the
+    # thick-branch coefficients (observed: a11 = 0.987, a12 = 0 for a
+    # nearly transparent layer).  The reference relies on the same kind
+    # of clip in its callers.
+    w0 = jnp.clip(w0, 0.0, 1.0 - 1e-6)
 
     f = 0.75 * g
     g1 = 2.0 - w0 * (1.25 + f)
@@ -99,6 +105,21 @@ def eddington_coeff_ec(dtau, w0, g, mu0):
     a13 = jnp.maximum(a13, 0.0)
     a23 = jnp.maximum(a23, 0.0)
     a33 = jnp.clip(a33, 0.0, 1.0)
+    # ENERGY inequalities, strictly: at w0 -> 1 with tiny tau, f32 noise
+    # can give a11 + a12 = 1 + O(1e-5); the layered reflection recurrence
+    # then has a fixed point beyond 1 and diverges (observed as Edn >
+    # incoming on near-transparent conservative columns).  Normalize the
+    # pair proportionally (preserves the transmission/reflection ratio);
+    # same for the direct source split against 1 - a33.
+    tiny = jnp.finfo(a11.dtype).tiny
+    s = a11 + a12
+    norm = jnp.minimum(1.0, 1.0 / jnp.maximum(s, tiny))
+    a11 = a11 * norm
+    a12 = a12 * norm
+    sd = a13 + a23
+    normd = jnp.minimum(1.0, (1.0 - a33) / jnp.maximum(sd, tiny))
+    a13 = a13 * normd
+    a23 = a23 * normd
 
     # zero direct coefficients when the sun is below the horizon
     sun_up = mu0 > eps

@@ -230,8 +230,8 @@ class RepwvlOptics:
 
         mie = np.load(os.path.join(self.data_dir, "mie_wc_table.npz"))
         tb = self._load("sw" if kind == "sw" else "lw")
-        wvls = tb["wvl"]  # [nm]
-        mw = mie["wvl"]  # [nm]
+        wvls = tb["wvl"] * 1e-3  # [nm] -> [um]
+        mw = mie["wvl"]  # [um]
         iw = np.clip(np.interp(wvls, mw, np.arange(mw.size)), 0, mw.size - 1)
         i0 = np.floor(iw).astype(int)
         f = (iw - i0)[:, None]

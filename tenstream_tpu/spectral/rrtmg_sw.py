@@ -315,8 +315,13 @@ class RrtmgSwOptics:
         if self.tsi is not None:
             w = w * (self.tsi / w.sum())
 
+        # interpolation can produce tiny negative taus at extreme
+        # mesospheric (p, T) outside the table envelope — clamp like the
+        # reference does for its dtau
+        tau_g = np.maximum(tau_g, 0.0)
+        tau_r = np.maximum(tau_r, 0.0)
         tau = tau_g + tau_r
-        w0 = tau_r / np.maximum(tau, 1e-30)
+        w0 = np.clip(tau_r / np.maximum(tau, 1e-30), 0.0, 1.0)
         return SpectralOptProps(
             tau=jnp.asarray(tau, ireals),
             w0=jnp.asarray(w0, ireals),

@@ -6,15 +6,17 @@ files use a small, fixed subset of the format — superblock v0, version-2
 object headers, dense root links in one fractal heap, contiguous
 unfiltered datasets — which this module reads directly.
 
-Supported (enough for the repwvl/mie/fu-ice tables):
+Supported (enough for the repwvl/mie/fu-ice tables and the
+reference's regression-result files):
   * superblock v0/v2/v3
   * v2 object headers ('OHDR') with 'OCHK' continuation blocks
   * link discovery from compact link messages AND from fractal-heap
     direct blocks ('FHDB', serialized link messages scanned
     record-by-record)
-  * dataspace v1/v2, datatypes: fixed-point, IEEE float, fixed strings
-  * data layout v3: contiguous and compact; chunked only when a single
-    chunk covers the dataset and the gzip/shuffle filters are absent
+  * dataspace v1/v2, datatypes: fixed-point, IEEE float, fixed and
+    variable-length strings
+  * data layout v3: contiguous, compact, and chunked with a v1 B-tree
+    chunk index and the gzip (deflate) / shuffle filters
 
 Anything else raises NotImplementedError with a pointer to the feature.
 """
@@ -141,6 +143,7 @@ class MiniH5:
         dims = None
         dtype = None
         layout = None
+        filters = []
         for mtype, off, msize in self._ohdr_messages(self._vars[name]):
             if mtype == 0x01:  # dataspace
                 ver, rank = d[off], d[off + 1]
@@ -175,12 +178,35 @@ class MiniH5:
                 elif lcls == 0:  # compact
                     size = int.from_bytes(d[off + 2:off + 4], "little")
                     layout = ("compact", off + 4, size)
+                elif lcls == 2:  # chunked: v1 B-tree index
+                    ndims1 = d[off + 2]
+                    baddr = int.from_bytes(d[off + 3:off + 11], "little")
+                    cdims = tuple(
+                        int.from_bytes(d[off + 11 + 4 * i:off + 15 + 4 * i], "little")
+                        for i in range(ndims1)
+                    )
+                    layout = ("chunked", baddr, cdims)
                 else:
-                    raise NotImplementedError(
-                        "chunked datasets not supported (not used by the "
-                        "repwvl tables)")
+                    raise NotImplementedError(f"layout class {lcls}")
+            elif mtype == 0x0B:  # filter pipeline
+                nf = d[off + 1]
+                p = off + (8 if d[off] == 1 else 2)
+                filters = []
+                for _ in range(nf):
+                    fid = int.from_bytes(d[p:p + 2], "little")
+                    namelen = int.from_bytes(d[p + 2:p + 4], "little")
+                    nval = int.from_bytes(d[p + 6:p + 8], "little")
+                    p += 8 + namelen
+                    if d[off] == 1 and namelen % 8:
+                        p += 8 - namelen % 8
+                    p += 4 * nval
+                    if d[off] == 1 and nval % 2:
+                        p += 4
+                    filters.append(fid)
         if dims is None or dtype is None or layout is None:
             raise NotImplementedError(f"{name}: incomplete object header")
+        if layout[0] == "chunked":
+            return self._read_chunked(layout[1], layout[2], dims, dtype, filters)
         _, addr, size = layout
         if dtype == "vlen":
             return self._read_vlen_strings(addr, dims)
@@ -189,6 +215,52 @@ class MiniH5:
         arr = np.frombuffer(d, dtype=dtype, count=int(np.prod(dims)) if dims else 1,
                             offset=addr)
         return arr.reshape(dims)
+
+    def _read_chunked(self, btree_addr, cdims, dims, dtype, filters):
+        """v1 B-tree chunk index + gzip/shuffle filters."""
+        import zlib
+
+        d = self.data
+        ndims1 = len(cdims)
+        out = np.zeros(dims, dtype=dtype)
+        elsize = dtype.itemsize
+
+        def walk(addr):
+            assert d[addr:addr + 4] == b"TREE", "bad chunk btree node"
+            level = d[addr + 5]
+            nent = int.from_bytes(d[addr + 6:addr + 8], "little")
+            p = addr + 24  # past siblings
+            for _ in range(nent):
+                csize = int.from_bytes(d[p:p + 4], "little")
+                offs = tuple(
+                    int.from_bytes(d[p + 8 + 8 * i:p + 16 + 8 * i], "little")
+                    for i in range(ndims1)
+                )
+                child = int.from_bytes(d[p + 8 + 8 * ndims1:p + 16 + 8 * ndims1],
+                                       "little")
+                p += 16 + 8 * ndims1
+                if level > 0:
+                    walk(child)
+                    continue
+                raw = d[child:child + csize]
+                if 1 in filters:  # deflate
+                    raw = zlib.decompress(raw)
+                if 2 in filters:  # shuffle: de-interleave bytes
+                    a = np.frombuffer(raw, np.uint8)
+                    n = a.size // elsize
+                    raw = a.reshape(elsize, n).T.tobytes()
+                chunk = np.frombuffer(raw, dtype=dtype)
+                shape = cdims[:-1]
+                chunk = chunk[: int(np.prod(shape))].reshape(shape)
+                sl = tuple(
+                    slice(o, min(o + s, dims[i]))
+                    for i, (o, s) in enumerate(zip(offs[:-1], shape))
+                )
+                src_sl = tuple(slice(0, s.stop - s.start) for s in sl)
+                out[sl] = chunk[src_sl]
+
+        walk(btree_addr)
+        return out
 
     def _read_vlen_strings(self, addr, dims):
         """Variable-length strings: (len u32, global-heap addr u64,

@@ -1,0 +1,98 @@
+"""Cross-implementation regression against the REFERENCE'S OWN results.
+
+The reference ships its specint regression data
+(`tests/test_pprts_specint/result.*.nc`, extracted via the in-repo HDF5
+reader into tests/data/reference_specint.npz): a 3x3x10-layer dynamics
+grid (1000..500 hPa) on the afglus background, a liquid cloud at
+750-800 hPa (lwc 0.01 g/kg, reliq 10 um), sun at phi=180 theta=60,
+albedo 0.3 solar / 0.1 thermal (`test_pprts_specint.F90:44-110`).
+
+This is the strongest parity evidence available in-image: two fully
+independent implementations (Fortran/PETSc vs JAX) of the whole chain
+(atmosphere merge, gas optics, cloud optics, solve) on the same scene.
+Tolerances reflect the remaining legitimate differences: the reference
+ran its MOCKUP transfer tables (-skip_load_LUT) while we solve with the
+batched two-stream; cloud-optics tables differ per backend.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tenstream_tpu.atm import Atmosphere
+from tenstream_tpu.pprts.grid import Grid
+from tenstream_tpu.pprts.solver import PprtsSolver
+from tenstream_tpu.pprts.sun import sundir_from_angles
+from tenstream_tpu.spectral.specint import specint_pprts
+
+_DATA = os.path.join(os.path.dirname(__file__), "data", "reference_specint.npz")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    z = np.load(_DATA)
+    gases = {k.split(".")[-1][2:]: z[f"scene.g_{k.split('g_')[-1]}"]
+             for k in z.files if k.startswith("scene.g_")}
+    plev = z["scene.plev"].copy()
+    tlev = z["scene.tlev"].copy()
+    nbg = plev.size - 11
+    tlev[nbg + 5] = 288.0
+    tlev[nbg + 6] = 288.0  # isothermal cloud levels (test_pprts_specint.F90:109)
+    atm = Atmosphere(plev=plev, tlev=tlev, zlev=z["scene.zlev"], gases=gases)
+    icld = nbg + 5
+    rho = 0.5 * (plev[icld] + plev[icld + 1]) / (287.058 * 288.0)
+    lwc = np.zeros((atm.nlay, 3, 3), np.float32)
+    lwc[icld] = 1e-2 * rho  # reference lwc is in g/kg
+    reliq = np.full((atm.nlay, 3, 3), 10.0, np.float32)
+    return atm, lwc, reliq, z
+
+
+def _solve(atm, lwc, reliq, backend, solar):
+    grid = Grid.create(atm.nlay, 3, 3, 100.0, 100.0, np.asarray(atm.dz, np.float32))
+    s = PprtsSolver(grid, solver_type="2str")
+    s.set_angles(sundir_from_angles(180.0, 60.0))
+    return specint_pprts(
+        s, atm, albedo=0.3 if solar else 0.1, lsolar=solar, lthermal=not solar,
+        specint=backend, lwc=lwc, reliq=reliq,
+    )
+
+
+@pytest.mark.parametrize("backend,rname", [
+    ("ecckd", "ecckd"), ("repwvl", "repwvl"), ("rrtmg_sw", "rrtm"),
+])
+def test_solar_vs_reference(scene, backend, rname):
+    atm, lwc, reliq, z = scene
+    res = _solve(atm, lwc, reliq, backend, solar=True)
+    r_edir = z[f"{rname}.lwF.swT.edir"][0, 0]  # (nlev,) TOA-first
+    r_eup = z[f"{rname}.lwF.swT.eup"][0, 0]
+    r_edn = z[f"{rname}.lwF.swT.edn"][0, 0]
+    edir = np.asarray(res.edir)[:, 0, 0]
+    eup = np.asarray(res.eup)[:, 0, 0]
+    edn = np.asarray(res.edn)[:, 0, 0]
+    # TOA boundary exact (same solar constants)
+    np.testing.assert_allclose(edir[0], r_edir[0], rtol=1e-4)
+    # TOA reflection: the most integrated measure of the whole chain
+    assert abs(eup[0] - r_eup[0]) / r_eup[0] < 0.05, (eup[0], r_eup[0])
+    # surface direct/diffuse within the mockup-vs-LUT transport spread
+    assert abs(edir[-1] - r_edir[-1]) / r_edir[-1] < 0.12, (edir[-1], r_edir[-1])
+    assert abs(edn[-1] - r_edn[-1]) / max(r_edn[-1], 1.0) < 0.2, (edn[-1], r_edn[-1])
+    # above-cloud direct profile: gas optics alone -> tight agreement
+    nbg = atm.plev.size - 11
+    rel = np.abs(edir[: nbg + 4] - r_edir[: nbg + 4]) / r_edir[: nbg + 4]
+    assert rel.max() < 0.02, rel.max()
+
+
+@pytest.mark.parametrize("backend,rname", [
+    ("ecckd", "ecckd"), ("repwvl", "repwvl"),
+])
+def test_thermal_vs_reference(scene, backend, rname):
+    atm, lwc, reliq, z = scene
+    res = _solve(atm, lwc, reliq, backend, solar=False)
+    r_eup = z[f"{rname}.lwT.swF.eup"][0, 0]
+    r_edn = z[f"{rname}.lwT.swF.edn"][0, 0]
+    eup = np.asarray(res.eup)[:, 0, 0]
+    edn = np.asarray(res.edn)[:, 0, 0]
+    # OLR and surface longwave down
+    assert abs(eup[0] - r_eup[0]) / r_eup[0] < 0.03, (eup[0], r_eup[0])
+    assert abs(edn[-1] - r_edn[-1]) / r_edn[-1] < 0.03, (edn[-1], r_edn[-1])
