@@ -56,15 +56,25 @@ def bench_lut_axes():
 
 
 def load_bench_lut():
-    """Best available LUT: bench axes if cached, else the committed test
-    LUT, else a freshly generated mockup (never blocks the benchmark on
-    multi-hour MC generation)."""
+    """Best available LUT: explicit BENCH_LUT path if given, else bench
+    axes if cached, else the committed test LUT, else a freshly generated
+    mockup (never blocks the benchmark on multi-hour MC generation)."""
     from tenstream_tpu.optprop.lut import (
         LUT,
         load_or_create_lut,
         lut_basename,
         mockup_axes,
     )
+
+    explicit = os.environ.get("BENCH_LUT")
+    if explicit:
+        print(f"# using BENCH_LUT {explicit}", file=sys.stderr)
+        return LUT.load(explicit)
+
+    prod = os.path.join(lut_basename(), "LUT_3_10_production.npz")
+    if os.path.exists(prod):
+        print(f"# using production LUT {prod}", file=sys.stderr)
+        return LUT.load(prod)
 
     da, fa = bench_lut_axes()
     tag = da.cache_key("3_10", "dir", 5000)[:8] + fa.cache_key("3_10", "diff", 5000)[:8]
@@ -127,6 +137,14 @@ def main():
     t_setup = time.time()
     import jax
 
+    # honor an explicit JAX_PLATFORMS request (e.g. CPU A/B diagnostics)
+    # over the host sitecustomize's forced accelerator registration
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from tenstream_tpu.optprop.facade import OptProp
     from tenstream_tpu.pprts.grid import Grid
     from tenstream_tpu.pprts.solver import PprtsSolver
@@ -172,6 +190,29 @@ def main():
         f"# {dt:.2f}s/solve ({NGPT}+{NGPT} gpts), TOA SW dn {edir[0].mean():.1f} W/m2, "
         f"OLR+SWup {eup[0].mean():.1f} W/m2, sfc edir {edir[-1].mean():.1f}",
         file=sys.stderr,
+    )
+
+    # per-chunk diffuse-solver diagnostics: a diverging/stagnating band in
+    # a vmapped chunk can never hide again (round-1 lesson: the driver
+    # bench shipped a silent 25x regression through exactly this blind
+    # spot).  niter is per-band within the chunk; res is the final
+    # residual norm; conv checks res <= max(rtol*|b|, atol) implied by
+    # niter < maxiter together with the stall counter.
+    maxit = 3000
+    worst = 0
+    for key, sol in sorted(solver.solutions.items(), key=str):
+        niter = np.atleast_1d(np.asarray(sol.niter_diff))
+        resv = np.atleast_1d(np.asarray(sol.diff_res))
+        worst = max(worst, int(niter.max()))
+        print(
+            f"# chunk {key}: niter min/med/max = {int(niter.min())}/"
+            f"{int(np.median(niter))}/{int(niter.max())}, "
+            f"res max = {float(resv.max()):.3e}",
+            file=sys.stderr,
+        )
+    assert worst < maxit, (
+        f"diffuse solver hit maxiter={maxit} in at least one band "
+        "(diverging or stagnating lane) — bench number would be dishonest"
     )
     print(json.dumps({
         "metric": "ecckd_lwsw_columns_per_s_per_chip",

@@ -2,16 +2,26 @@
 
 Parity: reference `src/tenstr_atm.F90` (`setup_tenstr_atm`:136,
 `load_atmfile`:776, `merge_dyn_rad_grid`:403, `hydrostat_lev`:875,
-`abso2hr`:999).  The reference reads libRadtran background-profile ASCII
-files (z, p, T, air, o3, o2, h2o, co2, no2 columns); those data files are
-not vendored, so this module generates the background from the analytic
-U.S. Standard Atmosphere 1976 plus standard trace-gas profile shapes.
-A `load_atmfile` for the same ASCII format is provided for users who have
-libRadtran profiles.
+`abso2hr`:999).
+
+The AFGL U.S.-standard background profile the reference vendors
+(`examples/pprts/afglus_100m.dat`) is extracted to
+`data/atm/afglus_100m.dat` (see `tools/extract_afglus.py`) and is the
+default background for `setup_tenstr_atm`; the analytic USSA76 +
+standard-trace-gas generator remains available for synthetic tests.
+
+Deviations from the reference (documented):
+  * arrays are ordered TOA -> surface along axis 0 (the solver's z
+    convention; the reference demands surface-first input and refuses
+    TOA-first, `src/tenstr_atm.F90:178-181`);
+  * pressures are Pa (SI) rather than hPa;
+  * per-(x, y)-column input is first-class: every dynamics field may be
+    (nlev,) or (nlev, nx, ny), matching the reference's (nlev, ncol).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -120,6 +130,8 @@ class Atmosphere:
     reliq: Optional[np.ndarray] = None  # effective radius [um]
     iwc: Optional[np.ndarray] = None
     reice: Optional[np.ndarray] = None
+    cfrac: Optional[np.ndarray] = None  # cloud fraction [0..1] (McICA)
+    skin_temperature: Optional[np.ndarray] = None  # (nx, ny) [K]
 
     @property
     def play(self) -> np.ndarray:
@@ -174,12 +186,9 @@ def merge_dyn_rad_grid(
     zlev_dyn: np.ndarray,
     tlev_dyn: np.ndarray,
 ) -> Tuple[Atmosphere, int]:
-    """Stack the background atmosphere above the dynamics grid.
-
-    Parity: `merge_dyn_rad_grid` (`src/tenstr_atm.F90:403`).  zlev_dyn is
-    TOA->surface within the model domain; returns the merged column and
-    the index where the dynamics grid starts.
-    """
+    """Stack the background atmosphere above a height-grid dynamics
+    column (legacy synthetic-scene helper; `setup_tenstr_atm` is the
+    reference-parity pressure-honoring entry point)."""
     z_top_dyn = float(np.max(zlev_dyn))
     keep = atm_bg.zlev > z_top_dyn + 1.0
     zlev = np.concatenate([atm_bg.zlev[keep], zlev_dyn])
@@ -190,6 +199,166 @@ def merge_dyn_rad_grid(
     return (
         Atmosphere(plev=bg["p"], tlev=tlev, zlev=zlev, gases=gases),
         int(keep.sum()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity host-model input: per-column dynamics grids merged with
+# the background profile, honoring the dynamics pressure
+# ---------------------------------------------------------------------------
+
+_GAS_NAMES = ("h2o", "o3", "co2", "ch4", "n2o", "o2")
+
+
+def default_atm_filename() -> str:
+    """The vendored AFGL US-standard background profile (extracted from
+    the reference's `examples/pprts/afglus_100m.dat` by
+    `tools/extract_afglus.py`)."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "data", "atm",
+        "afglus_100m.dat",
+    )
+
+
+def load_background(atm_filename: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Background profile levels ordered TOA -> surface: z [m], p [Pa],
+    T [K] plus gas vmrs (reference `load_atmfile` + `t_bg_atm`,
+    `src/tenstr_atm.F90:776,82-96`)."""
+    path = atm_filename or default_atm_filename()
+    if os.path.exists(path):
+        prof = load_atmfile(path)
+    else:  # analytic fallback when the data file is absent
+        z = np.linspace(80e3, 0.0, 81)
+        bg = us_standard_atmosphere(z)
+        prof = {"z": z, "p": bg["p"], "T": bg["T"], "air": bg["air"]}
+        prof.update(standard_trace_gases(z, bg["p"]))
+    order = np.argsort(-prof["z"])  # TOA first
+    return {k: np.asarray(v, np.float64)[order] for k, v in prof.items()}
+
+
+def _col3(a, shape2) -> np.ndarray:
+    """Broadcast (n,) or (n, nx, ny) input to (n,) + shape2."""
+    a = np.asarray(a, np.float64)
+    if a.ndim == 1 and shape2:
+        return np.broadcast_to(a[:, None, None], a.shape + shape2).copy()
+    return a
+
+
+def setup_tenstr_atm(
+    plev,
+    tlev,
+    *,
+    tlay=None,
+    h2ovmr=None,
+    o3vmr=None,
+    co2vmr=None,
+    ch4vmr=None,
+    n2ovmr=None,
+    o2vmr=None,
+    lwc=None,
+    reliq=None,
+    iwc=None,
+    reice=None,
+    cfrac=None,
+    surface_height=None,
+    skin_temperature=None,
+    atm_filename: Optional[str] = None,
+) -> Atmosphere:
+    """Build the merged dynamics+background atmosphere.
+
+    Parity: `setup_tenstr_atm` + `merge_dyn_rad_grid`
+    (`src/tenstr_atm.F90:136,403`): per-column hydrostatic level heights
+    are computed from the DYNAMICS pressure and temperature (surface
+    height optional), the number of background levels stacked on top is
+    chosen so the background starts above every column's top (both in
+    height and pressure, :498-513), and gas/cloud fields inside the
+    dynamics grid come from the host model where provided, else from the
+    background profile interpolated at the column heights
+    (`merge_grid_var`:371-400).
+
+    All dynamics inputs ordered TOA -> surface, (nlev[, nx, ny]);
+    pressures in Pa.  Returns an `Atmosphere` whose fields are
+    (nlay[+1], nx, ny) when any input is per-column, else 1-D.
+    """
+    plev = np.asarray(plev, np.float64)
+    tlev = np.asarray(tlev, np.float64)
+    shape2 = plev.shape[1:] if plev.ndim > 1 else (
+        tlev.shape[1:] if tlev.ndim > 1 else ())
+    plev = _col3(plev, shape2)
+    tlev = _col3(tlev, shape2)
+    nlev_d = plev.shape[0]
+    nlay_d = nlev_d - 1
+
+    if tlay is None:
+        tlay_d = 0.5 * (tlev[:-1] + tlev[1:])
+    else:
+        tlay_d = _col3(tlay, shape2)
+
+    bg = load_background(atm_filename)
+    h_srfc = np.zeros(shape2) if surface_height is None else np.asarray(surface_height, np.float64)
+
+    # per-column hydrostatic heights of the dynamics levels (TOA->sfc):
+    # integrate upward from the surface (reference `hydrostat_lev`:875)
+    rho = 0.5 * (plev[:-1] + plev[1:]) / (R_DRY_AIR * tlay_d)
+    dz_d = (plev[1:] - plev[:-1]) / (rho * GRAV)  # >0, TOA->sfc ordering
+    zlev_d = np.empty_like(plev)
+    zlev_d[-1] = h_srfc
+    zlev_d[:-1] = h_srfc + np.cumsum(dz_d[::-1], axis=0)[::-1]
+
+    # how many background levels go on top: both the height and the
+    # pressure of the lowest used background level must clear every
+    # column's top (reference :498-513)
+    global_maxheight = float(np.max(zlev_d[0]))
+    global_minplev = float(np.min(plev[0]))
+    if global_maxheight >= bg["z"][0] or global_minplev <= bg["p"][0]:
+        raise ValueError("background profile does not reach above the dynamics grid")
+    atm_ke = int(min(np.sum(bg["z"] > global_maxheight + 1.0),
+                     np.sum(bg["p"] < global_minplev * (1.0 - 1e-6))))
+
+    nlev = atm_ke + nlev_d
+    full = lambda a_bg, a_d: np.concatenate(
+        [_col3(a_bg[:atm_ke], shape2), a_d], axis=0)
+
+    plev_m = full(bg["p"], plev)
+    tlev_m = full(bg["T"], tlev)
+    tlay_m = np.concatenate(
+        [_col3(0.5 * (bg["T"][:atm_ke] + bg["T"][1:atm_ke + 1]), shape2), tlay_d], 0)
+
+    # merged hydrostatic heights over the FULL column (reference :566-568
+    # recomputes zt from the merged plev/tlay per column)
+    rho_m = 0.5 * (plev_m[:-1] + plev_m[1:]) / (R_DRY_AIR * tlay_m)
+    dz_m = (plev_m[1:] - plev_m[:-1]) / (rho_m * GRAV)
+    zlev_m = np.empty_like(plev_m)
+    zlev_m[-1] = h_srfc
+    zlev_m[:-1] = h_srfc + np.cumsum(dz_m[::-1], axis=0)[::-1]
+
+    # gases: host-model values inside the dynamics grid where given,
+    # else background interpolated at the merged layer pressures
+    zlay_m = 0.5 * (zlev_m[:-1] + zlev_m[1:])
+    provided = dict(h2o=h2ovmr, o3=o3vmr, co2=co2vmr, ch4=ch4vmr, n2o=n2ovmr, o2=o2vmr)
+    gases = {}
+    for gas in _GAS_NAMES:
+        if gas not in bg:
+            continue
+        # background value by height (bg z is TOA-first descending)
+        zq = np.clip(zlay_m, bg["z"][-1], bg["z"][0])
+        vbg = np.interp(-zq.ravel(), -bg["z"], bg[gas]).reshape(zlay_m.shape)
+        if provided[gas] is not None:
+            vbg[atm_ke:] = _col3(provided[gas], shape2)
+        gases[gas] = vbg
+
+    def cloud(a):
+        if a is None:
+            return None
+        out = np.zeros((nlev - 1,) + shape2, np.float32)
+        out[atm_ke:] = _col3(a, shape2)
+        return out
+
+    return Atmosphere(
+        plev=plev_m, tlev=tlev_m, zlev=zlev_m, gases=gases,
+        lwc=cloud(lwc), reliq=cloud(reliq), iwc=cloud(iwc),
+        reice=cloud(reice), cfrac=cloud(cfrac),
+        skin_temperature=None if skin_temperature is None else np.asarray(skin_temperature, np.float64),
     )
 
 

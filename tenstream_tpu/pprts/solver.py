@@ -56,6 +56,16 @@ class Solution(NamedTuple):
     abso: jnp.ndarray  # [W/m3]
     diff_omega: jnp.ndarray
     niter_diff: jnp.ndarray
+    # final diffuse-solve residual norm (reference residual history,
+    # `src/pprts_base.F90:163-164`); 0.0 for the 1-D column solvers
+    diff_res: Any = 0.0
+    # for a combined solar+thermal request, the thermal sub-solution:
+    # the reference REFUSES mixed solves in one call
+    # (`src/pprts.F90:2523-2534`) because the x sun-mu tilt rescale of
+    # `pprts_get_result` (:5885-5890) only applies to solar radiation.
+    # We split the request into two sub-solves instead and recombine
+    # with correct per-kind scaling in `get_result`.
+    thermal: Optional["Solution"] = None
 
 
 class PprtsSolver:
@@ -157,7 +167,7 @@ class PprtsSolver:
             self.sun.yinc if self.sun else -1,
             self.scheme.name,
             tuple(np.asarray(self._l1d).tolist()),
-            self.options.get("diff_solver", "richardson"),
+            self.options.get("diff_solver", "bicgstab"),
             self._buildings is not None,
         )
         if key in self._solve_cache:
@@ -183,7 +193,15 @@ class PprtsSolver:
         n_inner = self.options.get_int("edir_inner_iter", 8)
 
         buildings = self._buildings
-        compress_coeffs = self.options.get_bool("pprts_coeff_bf16", True)
+        # bf16 coefficient compression halves the HBM traffic of the
+        # diffuse iteration, but near-conservative transmissions
+        # (a11 = 1 - eps, optically thin layers) lose eps to the 8-bit
+        # mantissa and the error COMPOUNDS multiplicatively over deep
+        # 1-D layer stacks (measured: 42% OLR error on the reference
+        # regression scene with ~40 thin background layers).  Off by
+        # default; thermal emission is computed from f32 coefficients
+        # either way.
+        compress_coeffs = self.options.get_bool("pprts_coeff_bf16", False)
         use_geometric = self.options.get_bool("pprts_geometric_coeffs", False)
         # fused Pallas diffuse operator (pprts/pallas_ops.py); measured
         # slower than the XLA path on v5e at current block sizes, so off
@@ -221,12 +239,11 @@ class PprtsSolver:
 
                 coeffs = mask_coeffs(coeffs, buildings)
 
+            # keep the f32 blocks for source/emissivity computation even
+            # when the iteration coefficients are compressed (see the
+            # compress_coeffs note above)
+            diff2diff_f32 = coeffs.diff2diff
             if compress_coeffs:
-                # bf16 diffuse blocks halve the HBM traffic of every
-                # solver iteration; coefficient magnitudes are O(1) power
-                # fractions with ~1% MC noise, so bf16 is lossless in
-                # practice.  Direct blocks stay f32: the cyclic-scan
-                # products compound precision.
                 from tenstream_tpu.pprts.coeffs import CoeffFields as _CF
 
                 coeffs = _CF(coeffs.dir2dir, coeffs.dir2diff,
@@ -258,19 +275,18 @@ class PprtsSolver:
             b_th = None
             if lthermal and planck is not None:
                 b_th = thermal_source(
-                    scheme, coeffs.diff2diff, planck, kabs, grid.dz3d,
+                    scheme, diff2diff_f32, planck, kabs, grid.dz3d,
                     grid.dx, grid.dy, albedo2d, l1d,
                     planck_srfc=planck_srfc if has_planck_srfc else None,
                 )
                 b = b + b_th
 
             if diff_solver == "bicgstab":
-                ediff = solve_bicgstab(
+                ediff, niter, res = solve_bicgstab(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
                     rtol=rtol, atol=atol, maxiter=max_iter, precond=precond,
                     use_pallas=use_pallas_diff,
                 )
-                niter = jnp.asarray(0)
                 omega = omega0
             else:
                 ediff, niter, omega = solve_richardson(
@@ -278,12 +294,13 @@ class PprtsSolver:
                     omega0=omega0, rtol=rtol, atol=atol, max_iter=max_iter,
                     precond=precond, use_pallas=use_pallas_diff,
                 )
+                res = jnp.asarray(0.0, ireals)
 
             abso = calc_flx_div(
                 scheme, coeffs, ediff, grid.volumes(), l1d, kabs, grid.dz3d,
                 a11, a12, sun=sun, edir=edir, b_thermal=b_th,
             )
-            return edir, ediff, abso, niter, omega
+            return edir, ediff, abso, niter, omega, res
 
         self._solve_cache[key] = run
         return run
@@ -308,6 +325,18 @@ class PprtsSolver:
         if self.solver_type in ("2str", "schwarzschild", "disort"):
             return self._solve_1d(lthermal, lsolar, edirTOA, uid)
 
+        lsolar_eff = bool(lsolar and self.sun is not None and self.sun.sun_up)
+        lthermal_eff = bool(lthermal and self._atm.get("planck") is not None)
+        if lsolar_eff and lthermal_eff:
+            # mixed request: two sub-solves (see Solution.thermal note)
+            sol_s = self._solve_mono(False, True, edirTOA, (uid, "solar"))
+            sol_t = self._solve_mono(True, False, 0.0, (uid, "thermal"))
+            sol = sol_s._replace(thermal=sol_t)
+            self.solutions[uid] = sol
+            return sol
+        return self._solve_mono(lthermal, lsolar, edirTOA, uid)
+
+    def _solve_mono(self, lthermal, lsolar, edirTOA, uid):
         atm = self._atm
         prev = self.solutions.get(uid)
         x0 = prev.ediff.astype(ireals) if prev is not None else jnp.zeros(
@@ -317,13 +346,13 @@ class PprtsSolver:
 
         fn = self._solve_fn(lthermal and atm["planck"] is not None, lsolar, atm["planck_srfc"] is not None)
         with GLOBAL_LOG.scope("solve_pprts"):
-            edir, ediff, abso, niter, omega = fn(
+            edir, ediff, abso, niter, omega, res = fn(
                 atm["kabs"], atm["ksca"], atm["g"], atm["albedo2d"],
                 atm["planck"] if atm["planck"] is not None else jnp.zeros((self.grid.nz + 1, self.grid.nx, self.grid.ny), ireals),
                 atm["planck_srfc"] if atm["planck_srfc"] is not None else jnp.zeros((self.grid.nx, self.grid.ny), ireals),
                 jnp.asarray(edirTOA, ireals), x0, omega0,
             )
-        sol = Solution(edir, ediff, abso, omega, niter)
+        sol = Solution(edir, ediff, abso, omega, niter, res)
         self.solutions[uid] = self._maybe_compress(sol)
         return sol
 
@@ -334,7 +363,7 @@ class PprtsSolver:
         if not self.options.get_bool("pprts_compress_solutions", False):
             return sol
         cast = lambda a: None if a is None else a.astype(jnp.bfloat16)
-        return Solution(cast(sol.edir), cast(sol.ediff), cast(sol.abso), sol.diff_omega, sol.niter_diff)
+        return Solution(cast(sol.edir), cast(sol.ediff), cast(sol.abso), sol.diff_omega, sol.niter_diff, sol.diff_res)
 
     # ------------------------------------------------------------------
     def _solve_1d(self, lthermal, lsolar, edirTOA, uid):
@@ -495,21 +524,30 @@ class PprtsSolver:
         sol = self.solutions[uid]
         s = self.scheme
 
-        ediff_wm2 = sol.ediff * self._diff_scale_to_wm2()
-        inward = s.diff_inward()
-        edn = sum(ediff_wm2[d] for d in range(s.difftop.dof) if inward[d]) / s.difftop.area_divider
-        eup = sum(ediff_wm2[d] for d in range(s.difftop.dof) if not inward[d]) / s.difftop.area_divider
-        abso = sol.abso
+        def extract(part):
+            ediff_wm2 = part.ediff.astype(ireals) * self._diff_scale_to_wm2()
+            inward = s.diff_inward()
+            edn = sum(ediff_wm2[d] for d in range(s.difftop.dof) if inward[d]) / s.difftop.area_divider
+            eup = sum(ediff_wm2[d] for d in range(s.difftop.dof) if not inward[d]) / s.difftop.area_divider
+            abso = part.abso.astype(ireals)
+            edir = None
+            if part.edir is not None:
+                edir_wm2 = part.edir.astype(ireals) * self._dir_scale_to_wm2()
+                edir = edir_wm2[: s.dirtop.dof].sum(0) / s.dirtop.area_divider
+                # TOA tilt rescale, solar solutions only (reference
+                # :5885-5890; thermal is never mu-scaled)
+                mu = self.sun.mu
+                edir = edir * mu
+                edn = edn * mu
+                eup = eup * mu
+                abso = abso * mu
+            return edir, edn, eup, abso
 
-        edir = None
-        if sol.edir is not None:
-            edir_wm2 = sol.edir * self._dir_scale_to_wm2()
-            edir = edir_wm2[: s.dirtop.dof].sum(0) / s.dirtop.area_divider
-            # TOA tilt rescale (reference :5885-5890)
-            mu = self.sun.mu
-            edir = edir * mu
-            edn = edn * mu
-            eup = eup * mu
-            abso = abso * mu
+        edir, edn, eup, abso = extract(sol)
+        if sol.thermal is not None:
+            _, edn_t, eup_t, abso_t = extract(sol.thermal)
+            edn = edn + edn_t
+            eup = eup + eup_t
+            abso = abso + abso_t
 
         return edir, edn, eup, abso

@@ -78,19 +78,34 @@ class EcckdGasOptics:
 
     # -- core tau computation -------------------------------------------
     def _gas_tau(self, tb: _CkdTables, atm: Atmosphere) -> np.ndarray:
-        """(ngpt, nlay) gas optical depth (reference `ecckd_dtau`)."""
+        """(ngpt, nlay[, nx, ny]) gas optical depth (reference
+        `ecckd_dtau`).  Per-(x, y)-column atmospheres flatten to pseudo
+        columns through the same interpolation."""
         z = tb.z
         play = np.asarray(atm.play, np.float64)
-        tlay = np.asarray(atm.tlay, np.float64)
-        dP = np.asarray(atm.plev[1:] - atm.plev[:-1], np.float64)  # >0 TOA->sfc
-        nlay = play.shape[0]
+        grid_shape = play.shape  # (nlay[, nx, ny])
+        play = play.ravel()
+        tlay = np.asarray(atm.tlay, np.float64).ravel()
+        dP = np.asarray(atm.plev[1:] - atm.plev[:-1], np.float64).ravel()  # >0 TOA->sfc
+        M = play.shape[0]
+
+        def flat_gas(gas, default=0.0):
+            v = atm.gases.get(gas)
+            if v is None:
+                return np.full(M, default, np.float64)
+            return np.broadcast_to(
+                np.asarray(v, np.float64).reshape(
+                    (grid_shape[0],) + (1,) * (len(grid_shape) - 1)
+                ) if np.asarray(v).ndim == 1 else np.asarray(v, np.float64),
+                grid_shape,
+            ).ravel()
 
         logp = np.log(z["pressure"])  # (53,)
         ip, wp = _frac_index(logp, np.log(np.clip(play, z["pressure"][0], z["pressure"][-1])))
 
         # temperature grid depends on the pressure index (reference uses
         # the ip0 row): (6, 53) -> per-layer rows
-        tgrid = z["temperature"][:, ip]  # (6, nlay)
+        tgrid = z["temperature"][:, ip]  # (6, M)
         it = np.clip((tgrid <= tlay[None, :]).sum(0) - 1, 0, tgrid.shape[0] - 2)
         t0 = np.take_along_axis(tgrid, it[None], 0)[0]
         t1 = np.take_along_axis(tgrid, (it + 1)[None], 0)[0]
@@ -98,7 +113,7 @@ class EcckdGasOptics:
 
         mult = dP / (MOLMASS_AIR * GRAV)  # [mol/m2]
 
-        def interp_pt(mabs):  # mabs (6, 53, ngpt) -> (nlay, ngpt)
+        def interp_pt(mabs):  # mabs (6, 53, ngpt) -> (M, ngpt)
             v00 = mabs[it, ip]
             v01 = mabs[it, ip + 1]
             v10 = mabs[it + 1, ip]
@@ -109,17 +124,17 @@ class EcckdGasOptics:
             )
 
         def interp_pt_4(mabs4, icsel):  # mabs4 (12, 6, 53, ngpt)
-            sel = mabs4[icsel]  # (nlay, 6, 53, ngpt)
-            v00 = sel[np.arange(nlay), it, ip]
-            v01 = sel[np.arange(nlay), it, ip + 1]
-            v10 = sel[np.arange(nlay), it + 1, ip]
-            v11 = sel[np.arange(nlay), it + 1, ip + 1]
+            sel = mabs4[icsel]  # (M, 6, 53, ngpt)
+            v00 = sel[np.arange(M), it, ip]
+            v01 = sel[np.arange(M), it, ip + 1]
+            v10 = sel[np.arange(M), it + 1, ip]
+            v11 = sel[np.arange(M), it + 1, ip + 1]
             w = wp[:, None]
             return (1 - wt[:, None]) * ((1 - w) * v00 + w * v01) + wt[:, None] * (
                 (1 - w) * v10 + w * v11
             )
 
-        tau = np.zeros((nlay, tb.ngpt))
+        tau = np.zeros((M, tb.ngpt))
         for gas in z["gases"]:
             gas = str(gas)
             code = int(z[f"{gas}_code"])
@@ -127,23 +142,22 @@ class EcckdGasOptics:
             if code == _NONE:
                 tau += mult[:, None] * interp_pt(mabs)
             elif code == _LINEAR:
-                vmr = np.asarray(atm.gases.get(gas, np.zeros(nlay)), np.float64)
+                vmr = flat_gas(gas)
                 tau += (mult * vmr)[:, None] * interp_pt(mabs)
             elif code == _RELATIVE_LINEAR:
-                vmr = np.asarray(atm.gases.get(gas, np.zeros(nlay)), np.float64)
+                vmr = flat_gas(gas)
                 ref = float(z[f"{gas}_ref_vmr"])
                 tau += (mult * (vmr - ref))[:, None] * interp_pt(mabs)
             elif code == _LUT:
-                vmr = np.asarray(
-                    atm.gases.get(gas, np.full(nlay, 1e-9)), np.float64
-                )
+                vmr = flat_gas(gas, default=1e-9)
                 frac_grid = np.log(z[f"{gas}_mole_fraction"])  # (12,)
                 ic, wc = _frac_index(frac_grid, np.log(np.clip(vmr, np.exp(frac_grid[0]), np.exp(frac_grid[-1]))))
                 lo = interp_pt_4(mabs, ic)
                 hi = interp_pt_4(mabs, ic + 1)
                 tau += (mult * vmr)[:, None] * ((1 - wc[:, None]) * lo + wc[:, None] * hi)
 
-        return np.maximum(tau, 0.0).T  # (ngpt, nlay)
+        tau = np.maximum(tau, 0.0)
+        return np.moveaxis(tau.reshape(grid_shape + (tb.ngpt,)), -1, 0)
 
     # -- public API ------------------------------------------------------
     @property
@@ -159,7 +173,8 @@ class EcckdGasOptics:
         tau_gas = self._gas_tau(tb, atm)
         # Rayleigh: molar scattering coefficient per gpt [m2/mol]
         moles = (np.asarray(atm.plev[1:] - atm.plev[:-1], np.float64)) / (MOLMASS_AIR * GRAV)
-        tau_ray = tb.z["rayleigh_molar_scattering_coeff"][:, None] * moles[None, :]
+        coeff = tb.z["rayleigh_molar_scattering_coeff"]
+        tau_ray = coeff.reshape((tb.ngpt,) + (1,) * moles.ndim) * moles[None]
         tau = tau_gas + tau_ray
         w0 = tau_ray / np.maximum(tau, 1e-30)
         return SpectralOptProps(
@@ -286,13 +301,16 @@ class EcckdGasOptics:
         tau = self._gas_tau(tb, atm)
         tp = tb.z["temperature_planck"]  # (231,)
         pf = tb.z["planck_function"]  # (231, ngpt) [W/m2]
-        itv, wtv = _frac_index(tp, np.clip(np.asarray(atm.tlev, np.float64), tp[0], tp[-1]))
+        tlev = np.asarray(atm.tlev, np.float64)
+        lev_shape = tlev.shape
+        itv, wtv = _frac_index(tp, np.clip(tlev.ravel(), tp[0], tp[-1]))
         planck = ((1 - wtv[:, None]) * pf[itv] + wtv[:, None] * pf[itv + 1]) / PI
+        planck = np.moveaxis(planck.reshape(lev_shape + (tb.ngpt,)), -1, 0)
         z = jnp.zeros_like(jnp.asarray(tau, ireals))
         return SpectralOptProps(
             tau=jnp.asarray(tau, ireals),
             w0=z,
             g=z,
             weight=jnp.ones((tb.ngpt,), ireals),
-            planck=jnp.asarray(planck.T, ireals),  # (ngpt, nlev)
+            planck=jnp.asarray(planck, ireals),  # (ngpt, nlev[, nx, ny])
         )

@@ -96,7 +96,9 @@ def _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields):
             S, Edn, Eup = _ts(dtau, w0, tr(g_b), mu0, sp.weight[:, None, None], a2d[None])
             planck_w = None
         else:
-            planck_b = sp.planck[..., None, None] * jnp.ones((nx, ny), ireals)
+            planck_b = jnp.asarray(sp.planck, ireals)
+            if planck_b.ndim == 2:
+                planck_b = planck_b[..., None, None] * jnp.ones((nx, ny), ireals)
             S, Edn, Eup = _ts(
                 dtau, w0, tr(g_b), -1.0, 0.0, a2d[None],
                 planck=jnp.moveaxis(planck_b, 0, 1),
@@ -181,6 +183,13 @@ def specint_pprts(
     nz, nx, ny = grid.nz, grid.nx, grid.ny
     assert atm.nlay == nz, f"atmosphere layers {atm.nlay} != grid nz {nz}"
 
+    # cloud fields default from the atmosphere container (reference
+    # specint reads lwc/reliq/iwc/reice off t_tenstr_atm)
+    if lwc is None and atm.lwc is not None:
+        lwc, reliq = atm.lwc, atm.reliq
+    if iwc is None and atm.iwc is not None:
+        iwc, reice = atm.iwc, atm.reice
+
     dz3d = grid.dz3d
     a2d = jnp.full((nx, ny), albedo, ireals) if albedo_2d is None else jnp.asarray(albedo_2d, ireals)
 
@@ -209,12 +218,20 @@ def specint_pprts(
             else jnp.full((nz, nx, ny), 30.0, ireals)
         )
 
+    def to3d(a):
+        """(ngpt, nlay) column fields broadcast to (ngpt, nlay, nx, ny);
+        per-column (ngpt, nlay, nx, ny) backend output passes through."""
+        a = jnp.asarray(a, ireals)
+        if a.ndim == 2:
+            return a[..., None, None] * jnp.ones((nx, ny), ireals)
+        return a
+
     def batched_fields(sp: SpectralOptProps, kind: str = "sw"):
         """Broadcast the column gas props to 3-D and merge liquid + ice
         clouds (per-gpoint optics when the backend provides them)."""
-        tau_g = jnp.asarray(sp.tau, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
-        w0_g = jnp.asarray(sp.w0, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
-        g_g = jnp.asarray(sp.g, ireals)[..., None, None] * jnp.ones((nx, ny), ireals)
+        tau_g = to3d(sp.tau)
+        w0_g = to3d(sp.w0)
+        g_g = to3d(sp.g)
         if has_gpt_clouds:
             tc, wc, gc = backend.cloud_optprops_gpt(
                 kind, jnp.asarray(lwc, ireals), reff_cells, dz3d
@@ -291,26 +308,26 @@ def specint_pprts(
             om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
 
             if has_planck:
-                planck_b = sp.planck[lo:hi][..., None, None] * jnp.ones((nx, ny), ireals)
+                planck_b = to3d(sp.planck[lo:hi])
             else:
                 planck_b = jnp.zeros((nb,) + zeros_planck.shape, ireals)
-            psrfc_b = (
-                sp.planck_srfc[lo:hi][..., None, None] * jnp.ones((nx, ny), ireals)
-                if sp.planck_srfc is not None
-                else jnp.zeros((nb, nx, ny), ireals)
-            )
+            if sp.planck_srfc is not None:
+                ps = jnp.asarray(sp.planck_srfc[lo:hi], ireals)
+                psrfc_b = ps if ps.ndim == 3 else ps[..., None, None] * jnp.ones((nx, ny), ireals)
+            else:
+                psrfc_b = jnp.zeros((nb, nx, ny), ireals)
             toa_b = sp.weight[lo:hi] if solar else jnp.zeros((nb,), ireals)
 
             if x0.shape[0] != nb:  # trailing partial chunk
                 x0 = x0[:nb]
                 om0 = om0[:nb]
-            edir_b, ediff_b, abso_b, niter_b, om_b = vfn(
+            edir_b, ediff_b, abso_b, niter_b, om_b, res_b = vfn(
                 kabs_b[lo:hi], ksca_b[lo:hi], g_b[lo:hi], a2d,
                 planck_b, psrfc_b, toa_b, x0, om0,
             )
             from tenstream_tpu.pprts.solver import Solution
 
-            solver.solutions[cache_key] = Solution(edir_b, ediff_b, abso_b, om_b, niter_b)
+            solver.solutions[cache_key] = Solution(edir_b, ediff_b, abso_b, om_b, niter_b, res_b)
 
             # accumulate in W, convert at the end
             edir_contrib = None if edir_b is None else edir_b.sum(0)

@@ -41,3 +41,25 @@ def opp_small():
         basename=os.path.join(os.path.dirname(__file__), "data", "luts"),
     )
     return OptProp(lut)
+
+
+@pytest.fixture(scope="session")
+def opp_best():
+    """Best committed 3_10 table: the production LUT when present, else
+    the largest committed table (mirrors bench.py's selection)."""
+    from tenstream_tpu.optprop.facade import OptProp
+    from tenstream_tpu.optprop.lut import LUT
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    cands = []
+    for d in (os.path.join(repo, "data", "luts"),
+              os.path.join(os.path.dirname(__file__), "data", "luts")):
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith("LUT_3_10") and f.endswith(".npz"):
+                    p = os.path.join(d, f)
+                    rank = 2 if "production" in f else 1
+                    cands.append((rank, os.path.getsize(p), p))
+    if not cands:
+        pytest.skip("no committed 3_10 LUT")
+    return OptProp(LUT.load(sorted(cands)[-1][2]))

@@ -41,19 +41,21 @@ def test_sharded_solve_matches_single(opp_small):
         jnp.asarray(planck, ireals), jnp.zeros((nx, ny), ireals),
         jnp.asarray(800.0, ireals), x0, jnp.asarray(1.0, ireals),
     )
-    edir_1, ediff_1, abso_1, n1, _ = fn(*args)
+    edir_1, ediff_1, abso_1, n1, _, _ = fn(*args)
 
     mesh = make_mesh(jax.devices()[:8])
     ka_s, ks_s, gg_s, alb_s, pl_s, x0_s = shard_fields(
         mesh, args[0], args[1], args[2], args[3], args[4], x0
     )
-    edir_8, ediff_8, abso_8, n8, _ = fn(
+    edir_8, ediff_8, abso_8, n8, _, _ = fn(
         ka_s, ks_s, gg_s, alb_s, pl_s, args[5], args[6], x0_s, args[8]
     )
 
     np.testing.assert_allclose(np.asarray(edir_1), np.asarray(edir_8), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(abso_1), np.asarray(abso_8), rtol=2e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ediff_1), np.asarray(ediff_8), rtol=2e-3, atol=5.0)
+    # [W] face power; 0.5 W on 1e4 m2 faces is 5e-5 W/m2 — tolerance-
+    # tight rank-equivalence like the reference's npes=[1,2] suites
+    np.testing.assert_allclose(np.asarray(ediff_1), np.asarray(ediff_8), rtol=5e-4, atol=0.5)
 
 
 def test_dryrun_multichip_entry():

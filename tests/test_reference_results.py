@@ -48,9 +48,12 @@ def scene():
     return atm, lwc, reliq, z
 
 
-def _solve(atm, lwc, reliq, backend, solar):
+def _solve(atm, lwc, reliq, backend, solar, opp=None):
     grid = Grid.create(atm.nlay, 3, 3, 100.0, 100.0, np.asarray(atm.dz, np.float32))
-    s = PprtsSolver(grid, solver_type="2str")
+    if opp is None:
+        s = PprtsSolver(grid, solver_type="2str")
+    else:
+        s = PprtsSolver(grid, opp)
     s.set_angles(sundir_from_angles(180.0, 60.0))
     return specint_pprts(
         s, atm, albedo=0.3 if solar else 0.1, lsolar=solar, lthermal=not solar,
@@ -96,3 +99,49 @@ def test_thermal_vs_reference(scene, backend, rname):
     # OLR and surface longwave down
     assert abs(eup[0] - r_eup[0]) / r_eup[0] < 0.03, (eup[0], r_eup[0])
     assert abs(edn[-1] - r_edn[-1]) / r_edn[-1] < 0.03, (edn[-1], r_edn[-1])
+
+
+# ----------------------------------------------------------------------
+# The SAME scene solved with the flagship 3-D 3_10 solver (the reference
+# regression ran `t_solver_3_10`, `test_pprts_specint.F90:30`, on its
+# MOCKUP transfer tables via -skip_load_LUT).  Surface tolerances below
+# the cloud carry the mockup-vs-real-table transport spread plus
+# cloud-optics differences per backend; the above-cloud direct profile
+# and the thermal integrals are tight.
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("backend,rname,tol_up,tol_sfc", [
+    ("ecckd", "ecckd", 0.02, 0.08),
+    ("repwvl", "repwvl", 0.04, 0.13),
+    ("rrtmg_sw", "rrtm", 0.02, 0.12),
+])
+def test_solar_3d_vs_reference(scene, opp_best, backend, rname, tol_up, tol_sfc):
+    atm, lwc, reliq, z = scene
+    res = _solve(atm, lwc, reliq, backend, solar=True, opp=opp_best)
+    r_edir = z[f"{rname}.lwF.swT.edir"][0, 0]
+    r_eup = z[f"{rname}.lwF.swT.eup"][0, 0]
+    edir = np.asarray(res.edir)[:, 0, 0]
+    eup = np.asarray(res.eup)[:, 0, 0]
+    np.testing.assert_allclose(edir[0], r_edir[0], rtol=1e-4)
+    assert abs(eup[0] - r_eup[0]) / r_eup[0] < tol_up, (eup[0], r_eup[0])
+    assert abs(edir[-1] - r_edir[-1]) / r_edir[-1] < tol_sfc, (edir[-1], r_edir[-1])
+    # above-cloud direct: gas optics + exact direct transport -> sub-%
+    nbg = atm.plev.size - 11
+    rel = np.abs(edir[: nbg + 4] - r_edir[: nbg + 4]) / r_edir[: nbg + 4]
+    assert rel.max() < 0.01, rel.max()
+
+
+@pytest.mark.parametrize("backend,rname", [
+    ("ecckd", "ecckd"), ("repwvl", "repwvl"),
+])
+def test_thermal_3d_vs_reference(scene, opp_best, backend, rname):
+    atm, lwc, reliq, z = scene
+    res = _solve(atm, lwc, reliq, backend, solar=False, opp=opp_best)
+    r_eup = z[f"{rname}.lwT.swF.eup"][0, 0]
+    r_edn = z[f"{rname}.lwT.swF.edn"][0, 0]
+    eup = np.asarray(res.eup)[:, 0, 0]
+    edn = np.asarray(res.edn)[:, 0, 0]
+    # the 3-D solver's OLR/sfc-edn agree with the reference 3_10 run to
+    # ~1% (round-2 fix: f32 coefficient storage; bf16 compounded to 42%)
+    assert abs(eup[0] - r_eup[0]) / r_eup[0] < 0.015, (eup[0], r_eup[0])
+    assert abs(edn[-1] - r_edn[-1]) / r_edn[-1] < 0.015, (edn[-1], r_edn[-1])

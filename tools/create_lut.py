@@ -20,16 +20,42 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scheme", help="stream scheme, e.g. 3_10")
-    ap.add_argument("--preset", default="default", choices=["default", "mockup", "bench"])
+    ap.add_argument(
+        "--preset", default="default",
+        choices=["default", "mockup", "bench", "production"],
+    )
     ap.add_argument("--photons", type=int, default=10000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the jnp tracer (pallas service down)")
     args = ap.parse_args()
 
     from tenstream_tpu.optprop.lut import (
+        create_production_lut,
         default_axes,
         load_or_create_lut,
+        lut_basename,
         mockup_axes,
+        production_axes,
     )
+
+    if args.preset == "production":
+        # adaptive-convergence production tables (reference stddev
+        # criteria); resumes from per-source checkpoints
+        base = args.out or lut_basename()
+        out_path = os.path.join(base, f"LUT_{args.scheme}_production.npz")
+        t0 = time.time()
+        lut, meta = create_production_lut(
+            args.scheme,
+            production_axes(True),
+            production_axes(False),
+            checkpoint_dir=os.path.join(base, f"ckpt_{args.scheme}_production"),
+            use_pallas=False if args.no_pallas else None,
+        )
+        lut.save(out_path, meta=meta)
+        print(f"done in {time.time()-t0:.1f}s -> {out_path}")
+        print("meta:", meta)
+        return
 
     if args.preset == "mockup":
         da, fa = mockup_axes(True), mockup_axes(False)
