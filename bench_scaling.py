@@ -46,13 +46,31 @@ from tenstream_tpu.pprts.solver import PprtsSolver
 from tenstream_tpu.pprts.sun import sundir_from_angles
 
 
-def run_on(devices, nx_per, ny_per, nz=16, reps=3):
+def count_collectives(compiled) -> dict:
+    """Collective-op census of the compiled HLO (the 'collective counts
+    logged' requirement: how many cross-device ops one solve issues)."""
+    try:
+        hlo = compiled.as_text()
+    except Exception:
+        return {}
+    out = {}
+    for op in ("all-gather", "collective-permute", "all-reduce", "all-to-all",
+               "reduce-scatter"):
+        n = hlo.count(f" {op}(") + hlo.count(f" {op}-start(")
+        if n:
+            out[op] = n
+    return out
+
+
+def run_on(devices, nx_per, ny_per, nz=16, reps=3, use_shard_map=True):
     mesh = make_mesh(devices)
     nxp, nyp = mesh.devices.shape
     nx, ny = nx_per * nxp, ny_per * nyp
     lut = load_or_create_lut("3_10", mockup_axes(True), mockup_axes(False), n_photons=2000)
     solver = PprtsSolver(Grid.create(nz, nx, ny, 100.0, 100.0, 100.0), OptProp(lut))
     solver.set_angles(sundir_from_angles(30.0, 40.0))
+    if use_shard_map and len(devices) > 1:
+        solver.set_mesh(mesh)
     rng = np.random.default_rng(0)
     ka = (1e-4 + 1e-3 * rng.random((nz, nx, ny))).astype(np.float32)
     ks = (1e-4 + 4e-3 * rng.random((nz, nx, ny))).astype(np.float32)
@@ -67,22 +85,38 @@ def run_on(devices, nx_per, ny_per, nz=16, reps=3):
     args[0], args[1], args[2], args[3], args[7] = shard_fields(
         mesh, args[0], args[1], args[2], args[3], args[7]
     )
+    colls = {}
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        colls = count_collectives(lowered.compile())
+    except Exception:
+        pass
     out = fn(*args)
     jax.block_until_ready(out[1])
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out[1])
-    return (time.time() - t0) / reps, nx * ny
+    niter = int(np.asarray(out[3]))
+    return (time.time() - t0) / reps, nx * ny, colls, niter
 
 
 def main():
     devs = jax.devices()
-    t1, cols1 = run_on(devs[:1], 32, 32)
-    tN, colsN = run_on(devs[:n_dev], 32, 32)
-    eff = (t1 / tN) * 100.0  # weak scaling: same per-device work
-    print(f"# 1 dev: {t1:.3f}s ({cols1} cols); {n_dev} dev: {tN:.3f}s ({colsN} cols)",
-          file=sys.stderr)
+    t1, cols1, _, n1 = run_on(devs[:1], 32, 32)
+    tN, colsN, colls, nN = run_on(devs[:n_dev], 32, 32, use_shard_map=True)
+    tG, _, collsG, _ = run_on(devs[:n_dev], 32, 32, use_shard_map=False)
+    # all N virtual devices share the same physical cores, so perfect
+    # weak scaling on this harness is tN == N * t1 (N x the total work on
+    # fixed silicon); eff = N * t1 / tN.  On a real pod each device owns
+    # its cores and the ICI links; this number is a lower-bound sanity
+    # check of the sharded program, not an ICI projection.
+    eff = (n_dev * t1 / tN) * 100.0
+    print(f"# 1 dev: {t1:.3f}s ({cols1} cols, niter {n1}); "
+          f"{n_dev} dev shard_map: {tN:.3f}s ({colsN} cols, niter {nN}); "
+          f"{n_dev} dev gspmd-scan: {tG:.3f}s", file=sys.stderr)
+    print(f"# collectives/solve (static HLO census) shard_map: {colls}", file=sys.stderr)
+    print(f"# collectives/solve (static HLO census) gspmd-scan: {collsG}", file=sys.stderr)
     print(json.dumps({
         "metric": "weak_scaling_efficiency_virtual_mesh",
         "value": round(eff, 1),

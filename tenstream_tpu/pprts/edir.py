@@ -38,6 +38,31 @@ def _flip_face(arr, axis):
     return jnp.roll(jnp.flip(arr, axis=axis), 1, axis=axis)
 
 
+def _affine_combine(prev, cur):
+    Ap, Bp = prev
+    Ac, Bc = cur
+    Anew = jnp.einsum("nab...,nbc...->nac...", Ac, Ap)
+    Bnew = jnp.einsum("nab...,nb...->na...", Ac, Bp) + Bc
+    return Anew, Bnew
+
+
+def _closure_solve(Pl, Ql):
+    """X0 = (I - Pl)^-1 Ql for ds in {1, 2} block sizes."""
+    ds = Ql.shape[0]
+    if ds == 1:
+        return Ql / jnp.maximum(1.0 - Pl[:, 0], 1e-20)
+    if ds == 2:
+        a = 1.0 - Pl[0, 0]
+        b = -Pl[0, 1]
+        c = -Pl[1, 0]
+        d = 1.0 - Pl[1, 1]
+        det = jnp.maximum(a * d - b * c, 1e-20)
+        return jnp.stack(
+            [(d * Ql[0] - b * Ql[1]) / det, (-c * Ql[0] + a * Ql[1]) / det], axis=0
+        )
+    raise NotImplementedError("dirside dof > 2")  # pragma: no cover
+
+
 def _cyclic_affine_solve(A, B, axis):
     """Solve the periodic recurrence X[i+1] = A[i] X[i] + B[i].
 
@@ -45,73 +70,88 @@ def _cyclic_affine_solve(A, B, axis):
     along `axis` of the trailing grid dims of B (0-based within grid
     dims).  Returns X face-indexed, same shape as B.
     """
-    ds = B.shape[0]
     # move the scan axis to the front: work shapes (N, ds[, ds], batch...)
     Bm = jnp.moveaxis(B, 1 + axis, 0)  # (N, ds, batch...)
     Am = jnp.moveaxis(A, 2 + axis, 0)  # (N, ds, ds, batch...)
 
-    def combine(prev, cur):
-        Ap, Bp = prev
-        Ac, Bc = cur
-        Anew = jnp.einsum("nab...,nbc...->nac...", Ac, Ap)
-        Bnew = jnp.einsum("nab...,nb...->na...", Ac, Bp) + Bc
-        return Anew, Bnew
-
-    P, Q = jax.lax.associative_scan(combine, (Am, Bm), axis=0)
+    P, Q = jax.lax.associative_scan(_affine_combine, (Am, Bm), axis=0)
     # periodic closure: X0 = (I - P[-1])^-1 Q[-1]
-    Pl, Ql = P[-1], Q[-1]  # (ds, ds, batch...), (ds, batch...)
-    if ds == 1:
-        X0 = Ql / jnp.maximum(1.0 - Pl[:, 0], 1e-20)
-    elif ds == 2:
-        a = 1.0 - Pl[0, 0]
-        b = -Pl[0, 1]
-        c = -Pl[1, 0]
-        d = 1.0 - Pl[1, 1]
-        det = jnp.maximum(a * d - b * c, 1e-20)
-        X0 = jnp.stack(
-            [(d * Ql[0] - b * Ql[1]) / det, (-c * Ql[0] + a * Ql[1]) / det], axis=0
-        )
-    else:  # pragma: no cover - no scheme has ds > 2
-        raise NotImplementedError("dirside dof > 2")
+    X0 = _closure_solve(P[-1], Q[-1])
     # X[i] for i >= 1 from prefixes; X[0] known
     Xrest = jnp.einsum("nab...,b...->na...", P[:-1], X0) + Q[:-1]
     X = jnp.concatenate([X0[None], Xrest], axis=0)
     return jnp.moveaxis(X, 0, 1 + axis)
 
 
-@partial(jax.jit, static_argnames=("scheme", "xinc", "yinc", "n_inner"))
-def solve_edir(
-    scheme: StreamScheme,
-    dir2dir: jnp.ndarray,
-    incoming_top: jnp.ndarray,
-    xinc: int,
-    yinc: int,
-    n_inner: int = 8,
-) -> jnp.ndarray:
-    """March the direct beam down through all layers.
+def _cyclic_affine_solve_sharded(A, B, axis, axis_name):
+    """Distributed cyclic affine solve inside a `shard_map` region.
 
-    Args:
-      dir2dir: (ndir, ndir, Nz, Nx, Ny) [src, dst] per-cell blocks.
-      incoming_top: (ntop, Nx, Ny) TOA source in [W] per top dof.
-      xinc/yinc: static sun octant; 1 means photons travel toward +axis.
+    Redesign of the round-1 GSPMD path (associative scans along sharded
+    axes): each shard runs a LOCAL prefix scan (no comms), then ONE
+    `all_gather` of the per-shard (ds x ds) carry summaries closes the
+    periodic ring — S tiny block compositions instead of log(N) staged
+    collective segments per scan.  Reference semantics: the sun-ordered
+    sweep + halo exchange of `explicit_edir_forward_sweep`
+    (`src/pprts_explicit.F90:232-459`), solved exactly instead of
+    iterated.
+    """
+    Bm = jnp.moveaxis(B, 1 + axis, 0)  # (Nloc, ds, batch...)
+    Am = jnp.moveaxis(A, 2 + axis, 0)
 
-    Returns edir: (ndir, Nz+1, Nx, Ny) [W], face-indexed (top dofs on
-    z-faces; side dofs at their layer's upwind faces in canonical
-    orientation, i.e. stored at the face the radiation crosses).
+    P_loc, Q_loc = jax.lax.associative_scan(_affine_combine, (Am, Bm), axis=0)
+    A_sum, B_sum = P_loc[-1], Q_loc[-1]  # (ds, ds, batch...), (ds, batch...)
+
+    A_all = jax.lax.all_gather(A_sum, axis_name)  # (S, ds, ds, batch...)
+    B_all = jax.lax.all_gather(B_sum, axis_name)
+    S = A_all.shape[0]
+
+    ds = B.shape[0]
+    eye = jnp.zeros_like(A_all[0])
+    for i in range(ds):
+        eye = eye.at[i, i].set(1.0)
+
+    # prefix composition around the ring: pre[k] maps the ring origin's
+    # boundary value to shard k's left-boundary value
+    preA, preB = [eye], [jnp.zeros_like(B_all[0])]
+    M_A, M_B = eye, jnp.zeros_like(B_all[0])
+    for k in range(S):
+        M_A, M_B = (
+            jnp.einsum("ab...,bc...->ac...", A_all[k], M_A),
+            jnp.einsum("ab...,b...->a...", A_all[k], M_B) + B_all[k],
+        )
+        if k < S - 1:
+            preA.append(M_A)
+            preB.append(M_B)
+    # full-ring closure, then my shard's left-boundary value
+    X0 = _closure_solve(M_A, M_B)
+    idx = jax.lax.axis_index(axis_name)
+    myA = jax.lax.dynamic_index_in_dim(jnp.stack(preA, 0), idx, keepdims=False)
+    myB = jax.lax.dynamic_index_in_dim(jnp.stack(preB, 0), idx, keepdims=False)
+    X_start = jnp.einsum("ab...,b...->a...", myA, X0) + myB
+
+    Xrest = jnp.einsum("nab...,b...->na...", P_loc[:-1], X_start) + Q_loc[:-1]
+    X = jnp.concatenate([X_start[None], Xrest], axis=0)
+    return jnp.moveaxis(X, 0, 1 + axis)
+
+
+def _edir_core(scheme, c, incoming_top, n_inner, axis_names=None):
+    """Canonical-orientation direct solve (photons travel +x, +y, -z).
+
+    With `axis_names` = (x_name, y_name) the in-layer recurrences use the
+    distributed shard_map solver; otherwise the single-region
+    associative scan.
     """
     nt = scheme.dirtop.dof
     ns = scheme.dirside.dof
     nd = scheme.ndir
-    assert dir2dir.shape[0] == nd
 
-    # canonicalize to photons travelling (+x, +y)
-    c = dir2dir
-    if xinc == 0:
-        c = _flip_cell(c, axis=3)
-        incoming_top = _flip_cell(incoming_top, axis=1)
-    if yinc == 0:
-        c = _flip_cell(c, axis=4)
-        incoming_top = _flip_cell(incoming_top, axis=2)
+    if axis_names is None:
+        solve_x = lambda A, B: _cyclic_affine_solve(A, B, axis=0)
+        solve_y = lambda A, B: _cyclic_affine_solve(A, B, axis=1)
+    else:
+        xn, yn = axis_names
+        solve_x = lambda A, B: _cyclic_affine_solve_sharded(A, B, 0, xn)
+        solve_y = lambda A, B: _cyclic_affine_solve_sharded(A, B, 1, yn)
 
     sl_t = slice(0, nt)
     sl_x = slice(nt, nt + ns)
@@ -139,9 +179,9 @@ def solve_edir(
         for _ in range(n_inner):
             # X[i+1] = cxx X[i] + (top + y contributions)   along x
             bx = bx_top + jnp.einsum("sdij,sij->dij", cyx, Y)
-            X = _cyclic_affine_solve(cxx, bx, axis=0)
+            X = solve_x(cxx, bx)
             by = by_top + jnp.einsum("sdij,sij->dij", cxy, X)
-            Y = _cyclic_affine_solve(cyy, by, axis=1)
+            Y = solve_y(cyy, by)
 
         T_out = (
             jnp.einsum("sdij,sij->dij", ctt, T_in)
@@ -160,8 +200,26 @@ def solve_edir(
     edir = edir.at[sl_t, -1].set(T_sfc)
     edir = edir.at[sl_x, :-1].set(jnp.moveaxis(X_layers, 0, 1))
     edir = edir.at[sl_y, :-1].set(jnp.moveaxis(Y_layers, 0, 1))
+    return edir
 
-    # un-canonicalize: cell-indexed z stays, flip faces on flipped axes.
+
+def _canonicalize(dir2dir, incoming_top, xinc, yinc):
+    c = dir2dir
+    if xinc == 0:
+        c = _flip_cell(c, axis=3)
+        incoming_top = _flip_cell(incoming_top, axis=1)
+    if yinc == 0:
+        c = _flip_cell(c, axis=4)
+        incoming_top = _flip_cell(incoming_top, axis=2)
+    return c, incoming_top
+
+
+def _uncanonicalize(scheme, edir, xinc, yinc):
+    nt, ns = scheme.dirtop.dof, scheme.dirside.dof
+    sl_t = slice(0, nt)
+    sl_x = slice(nt, nt + ns)
+    sl_y = slice(nt + ns, nt + 2 * ns)
+    # cell-indexed z stays, flip faces on flipped axes
     if xinc == 0:
         top = _flip_cell(edir[sl_t], axis=2)
         xs = _flip_face(edir[sl_x], axis=2)
@@ -173,3 +231,66 @@ def solve_edir(
         ys = _flip_face(edir[sl_y], axis=3)
         edir = jnp.concatenate([top, xs, ys], axis=0)
     return edir
+
+
+@partial(jax.jit, static_argnames=("scheme", "xinc", "yinc", "n_inner"))
+def solve_edir(
+    scheme: StreamScheme,
+    dir2dir: jnp.ndarray,
+    incoming_top: jnp.ndarray,
+    xinc: int,
+    yinc: int,
+    n_inner: int = 8,
+) -> jnp.ndarray:
+    """March the direct beam down through all layers.
+
+    Args:
+      dir2dir: (ndir, ndir, Nz, Nx, Ny) [src, dst] per-cell blocks.
+      incoming_top: (ntop, Nx, Ny) TOA source in [W] per top dof.
+      xinc/yinc: static sun octant; 1 means photons travel toward +axis.
+
+    Returns edir: (ndir, Nz+1, Nx, Ny) [W], face-indexed (top dofs on
+    z-faces; side dofs at their layer's upwind faces in canonical
+    orientation, i.e. stored at the face the radiation crosses).
+    """
+    assert dir2dir.shape[0] == scheme.ndir
+    c, inc = _canonicalize(dir2dir, incoming_top, xinc, yinc)
+    edir = _edir_core(scheme, c, inc, n_inner)
+    return _uncanonicalize(scheme, edir, xinc, yinc)
+
+
+def solve_edir_sharded(
+    scheme: StreamScheme,
+    dir2dir: jnp.ndarray,
+    incoming_top: jnp.ndarray,
+    xinc: int,
+    yinc: int,
+    mesh,
+    n_inner: int = 8,
+) -> jnp.ndarray:
+    """`solve_edir` over an ('x', 'y') device mesh via `shard_map`.
+
+    The in-layer cyclic recurrences run as LOCAL prefix scans with one
+    small all-gathered (ds x ds) carry closure per solve, instead of
+    GSPMD associative scans along sharded axes (round-1 design, flagged
+    in ROUND1_NOTES item 2).  The octant flips stay OUTSIDE the
+    shard_map region (they are global data movements).
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.sharding import shard_map
+
+    assert dir2dir.shape[0] == scheme.ndir
+    c, inc = _canonicalize(dir2dir, incoming_top, xinc, yinc)
+
+    core = partial(_edir_core, scheme, n_inner=n_inner, axis_names=("x", "y"))
+    fn = shard_map(
+        lambda cc, ii: core(cc, ii),
+        mesh=mesh,
+        in_specs=(P(None, None, None, "x", "y"), P(None, "x", "y")),
+        out_specs=P(None, None, "x", "y"),
+    )
+    edir = fn(c, inc)
+    return _uncanonicalize(scheme, edir, xinc, yinc)

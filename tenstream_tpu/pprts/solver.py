@@ -30,7 +30,7 @@ import numpy as np
 
 from tenstream_tpu.core.config import Options
 from tenstream_tpu.core.log import GLOBAL_LOG
-from tenstream_tpu.core.types import ireals
+from tenstream_tpu.core.types import PI, ireals
 from tenstream_tpu.ops.delta_scale import delta_scale
 from tenstream_tpu.optprop.facade import OptProp
 from tenstream_tpu.pprts.absorption import calc_flx_div
@@ -109,6 +109,15 @@ class PprtsSolver:
         self.sun = suninfo_from_sundir(sundir)
         self._sundir_raw = jnp.asarray(sundir, ireals)
 
+    def set_mesh(self, mesh) -> None:
+        """Attach an ('x', 'y') device mesh: the direct solve switches to
+        the shard_map path (local block scans + one gathered carry
+        closure per in-layer recurrence) instead of GSPMD associative
+        scans along sharded axes.  The diffuse operator's jnp.roll
+        stencils stay GSPMD (they already lower to halo permutes)."""
+        self._mesh = mesh
+        self._solve_cache.clear()
+
     def set_terrain(self, h_srfc) -> None:
         """Surface height field (Nx, Ny) [m] for terrain-following
         grids.  With `-pprts_geometric_coeffs`, the direct transfer
@@ -169,6 +178,7 @@ class PprtsSolver:
             tuple(np.asarray(self._l1d).tolist()),
             self.options.get("diff_solver", "bicgstab"),
             self._buildings is not None,
+            id(getattr(self, "_mesh", None)),
         )
         if key in self._solve_cache:
             return self._solve_cache[key]
@@ -177,6 +187,7 @@ class PprtsSolver:
         opp = self.opp
         grid = self.grid
         sun = self.sun
+        mesh = getattr(self, "_mesh", None)
         l1d = jnp.asarray(self._l1d)
         # default: BiCGStab with the vertical-line preconditioner (the
         # analogue of the reference's FBCGS+ILU default); "richardson"
@@ -256,9 +267,17 @@ class PprtsSolver:
             if lsolar and sun is not None and sun.sun_up:
                 fac = edirTOA * grid.az / scheme.dirtop.area_divider
                 inc = jnp.full((scheme.dirtop.dof, grid.nx, grid.ny), 1.0, ireals) * fac
-                edir = solve_edir(
-                    scheme, coeffs.dir2dir, inc, sun.xinc, sun.yinc, n_inner=n_inner
-                )
+                if mesh is not None:
+                    from tenstream_tpu.pprts.edir import solve_edir_sharded
+
+                    edir = solve_edir_sharded(
+                        scheme, coeffs.dir2dir, inc, sun.xinc, sun.yinc,
+                        mesh, n_inner=n_inner,
+                    )
+                else:
+                    edir = solve_edir(
+                        scheme, coeffs.dir2dir, inc, sun.xinc, sun.yinc, n_inner=n_inner
+                    )
                 b = b + dir2diff_source(scheme, coeffs.dir2diff, edir, sun.xinc, sun.yinc)
                 b = b + direct_surface_reflection(scheme, edir, albedo2d)
 
@@ -551,3 +570,100 @@ class PprtsSolver:
             abso = abso + abso_t
 
         return edir, edn, eup, abso
+
+    def get_building_fluxes(self, uid: int = 0):
+        """Per-face radiation on exposed building faces [W/m2].
+
+        Parity: reference `fill_buildings_arr` in `pprts_get_result`
+        (`src/pprts.F90:5986-6249`) returns per-face `B%edir`,
+        `B%incoming`, `B%outgoing`.  Dense equivalent: dicts keyed by
+        face kind ('roof', 'floor', 'wall_x_low', 'wall_x_high',
+        'wall_y_low', 'wall_y_high') of (Nz, Nx, Ny) fields that are
+        nonzero on exposed faces of solid cells.  outgoing =
+        albedo * incoming + (1 - albedo) * pi * B_face.
+        """
+        if self._buildings is None:
+            raise RuntimeError("no buildings attached (set_buildings)")
+        b = self._buildings
+        s = self.scheme
+        g = self.grid
+        sol = self.solutions[uid]
+        nt = s.difftop.dof
+        ntd = s.dirtop.dof
+        inward = s.diff_inward()
+        axis = s.diff_axis()
+        dir_axis = s.dir_axis()
+
+        masks = {
+            "roof": b.exposed_top(),
+            "floor": b.exposed_bottom(),
+            "wall_x_low": b.exposed_side(1, True),
+            "wall_x_high": b.exposed_side(1, False),
+            "wall_y_low": b.exposed_side(2, True),
+            "wall_y_high": b.exposed_side(2, False),
+        }
+        wall_area = {
+            "wall_x_low": g.dy * g.dz3d, "wall_x_high": g.dy * g.dz3d,
+            "wall_y_low": g.dx * g.dz3d, "wall_y_high": g.dx * g.dz3d,
+        }
+
+        parts = [(sol, True)]
+        if sol.thermal is not None:
+            parts.append((sol.thermal, False))
+
+        edir_f = {k: jnp.zeros(g.dz3d.shape, ireals) for k in masks}
+        incoming = {k: jnp.zeros(g.dz3d.shape, ireals) for k in masks}
+
+        for part, _ in parts:
+            mu = self.sun.mu if part.edir is not None else 1.0
+            ediff = part.ediff.astype(ireals) * mu
+            edir = None if part.edir is None else part.edir.astype(ireals) * mu
+
+            # roofs: downward radiation arriving at z-face k of solid cell k
+            edn_W = sum(ediff[d] for d in range(nt) if inward[d])
+            eup_W = sum(ediff[d] for d in range(nt) if not inward[d])
+            incoming["roof"] = incoming["roof"] + edn_W[:-1] / g.az
+            incoming["floor"] = incoming["floor"] + eup_W[1:] / g.az
+            if edir is not None:
+                ed = edir[:ntd].sum(0)
+                edir_f["roof"] = edir_f["roof"] + ed[:-1] / g.az
+                incoming["roof"] = incoming["roof"] + ed[:-1] / g.az
+
+            # walls: side streams arriving at the exposed vertical faces.
+            # Side fields store x-face i at column index i, layer slot k.
+            for ax, (klo, khi) in ((1, ("wall_x_low", "wall_x_high")),
+                                   (2, ("wall_y_low", "wall_y_high"))):
+                into_pos = sum(  # moving +axis, hits the low wall (face i)
+                    ediff[d, :-1] for d in range(nt, s.ndiff)
+                    if axis[d] == ax and inward[d]
+                )
+                into_neg = sum(  # moving -axis, hits the high wall (face i+1)
+                    ediff[d, :-1] for d in range(nt, s.ndiff)
+                    if axis[d] == ax and not inward[d]
+                )
+                incoming[klo] = incoming[klo] + into_pos / wall_area[klo]
+                incoming[khi] = incoming[khi] + jnp.roll(into_neg, -1, axis=ax) / wall_area[khi]
+                if edir is not None and s.dirside.dof > 0:
+                    beam_pos = (self.sun.xinc == 1) if ax == 1 else (self.sun.yinc == 1)
+                    side_dir = sum(
+                        edir[d, :-1] for d in range(s.ndir) if dir_axis[d] == ax
+                    )
+                    if beam_pos:
+                        v = side_dir / wall_area[klo]
+                        edir_f[klo] = edir_f[klo] + v
+                        incoming[klo] = incoming[klo] + v
+                    else:
+                        v = jnp.roll(side_dir, -1, axis=ax) / wall_area[khi]
+                        edir_f[khi] = edir_f[khi] + v
+                        incoming[khi] = incoming[khi] + v
+
+        B_face = b.planck if b.planck is not None else 0.0
+        out = {}
+        for k, m in masks.items():
+            inc = jnp.where(m, incoming[k], 0.0)
+            ed = jnp.where(m, edir_f[k], 0.0)
+            outg = jnp.where(
+                m, b.albedo * incoming[k] + (1.0 - b.albedo) * PI * B_face, 0.0
+            )
+            out[k] = dict(edir=ed, incoming=inc, outgoing=outg)
+        return out

@@ -167,6 +167,9 @@ def specint_pprts(
     time: Optional[float] = None,
     max_solution_err: float = 0.0,
     max_solution_time: float = 0.0,
+    cld_frac=None,
+    mcica_seed: int = 712,
+    overlap: str = "maxrand",
 ) -> SpectralResult:
     """Full-spectrum solve.  The solver's grid z-axis must match
     atm.nlay; sun angles must be set for solar.
@@ -176,7 +179,13 @@ def specint_pprts(
     extrapolated absorption error stays small are skipped and their
     cached contribution reused (reference adaptive spectral integration,
     `src/adaptive_spectral_integration.F90`, options
-    `-max_solution_err/-max_solution_time`)."""
+    `-max_solution_err/-max_solution_time`).
+
+    With `cld_frac` (nlay, nx, ny) in [0, 1] (or `atm.cfrac`), partial
+    cloudiness is handled by McICA: every g-point sees an independent
+    stochastic binary subcolumn with `overlap` ('maxrand' default) and
+    the in-cloud condensate lwc/cld_frac (reference
+    `mcica_subcol_gen_{lw,sw}.f90` consumed by the rrtmg drivers)."""
     backend = _BACKENDS[specint]() if isinstance(specint, str) else specint
     grid = solver.grid
     scheme = solver.scheme
@@ -189,6 +198,32 @@ def specint_pprts(
         lwc, reliq = atm.lwc, atm.reliq
     if iwc is None and atm.iwc is not None:
         iwc, reice = atm.iwc, atm.reice
+    if cld_frac is None and atm.cfrac is not None:
+        cld_frac = atm.cfrac
+
+    # McICA: scale condensate to its in-cloud value; per-gpt binary
+    # masks are applied to the cloud optical depths in batched_fields
+    # (cloud tau is linear in condensate at fixed reff, so masking tau
+    # equals masking the condensate exactly)
+    if cld_frac is not None:
+        import jax as _jax
+
+        from tenstream_tpu.spectral.mcica import mcica_subcolumns
+
+        f_cld = jnp.clip(jnp.asarray(cld_frac, ireals), 0.0, 1.0)
+        f_safe = jnp.maximum(f_cld, 1e-6)
+        if lwc is not None:
+            lwc = jnp.asarray(lwc, ireals) / f_safe
+        if iwc is not None:
+            iwc = jnp.asarray(iwc, ireals) / f_safe
+
+        def _mcica_mask(kind: str, ngpt: int):
+            key = _jax.random.fold_in(
+                _jax.random.PRNGKey(mcica_seed), 0 if kind == "sw" else 1
+            )
+            return mcica_subcolumns(key, f_cld, ngpt, overlap=overlap)
+    else:
+        _mcica_mask = None
 
     dz3d = grid.dz3d
     a2d = jnp.full((nx, ny), albedo, ireals) if albedo_2d is None else jnp.asarray(albedo_2d, ireals)
@@ -238,11 +273,18 @@ def specint_pprts(
             )
         else:
             tc, wc, gc = tau_c[None], w0_c[None], g_c[None]
+        mcmask = None
+        if _mcica_mask is not None:
+            mcmask = _mcica_mask(kind, tau_g.shape[0]).astype(ireals)
+        if mcmask is not None and lwc is not None:
+            tc = tc * mcmask
         tau, w0, g = _merge_cloud(tau_g, w0_g, g_g, tc, wc, gc)
         if has_gpt_ice:
             ti, wi, gi = backend.ice_optprops_gpt(
                 kind, jnp.asarray(iwc, ireals), reice_cells, dz3d
             )
+            if mcmask is not None:
+                ti = ti * mcmask
             tau, w0, g = _merge_cloud(tau, w0, g, ti, wi, gi)
         if extra_tau is not None:
             # spectrally-gray extra optical properties (aerosol layers,

@@ -100,3 +100,68 @@ def test_building_side_wall_reflection_and_emission(opp_small):
     near = edn2[4, 5, 5] + edn2[4, 8, 5]
     far = edn2[4, 0, 0] + edn2[4, 11, 11]
     assert near > far + 1.0, (near, far)
+
+
+def test_building_face_fluxes(opp_small):
+    """Per-face incoming/outgoing extraction (reference
+    `fill_buildings_arr`, `src/pprts.F90:5986-6249`)."""
+    import jax.numpy as jnp
+
+    nz, nx, ny = 6, 12, 12
+    grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+    solver = PprtsSolver(grid, opp_small)
+    ka = np.full((nz, nx, ny), 1e-5, np.float32)
+    ks = np.full((nz, nx, ny), 1e-5, np.float32)
+    g = np.zeros((nz, nx, ny), np.float32)
+    solid = np.zeros((nz, nx, ny), bool)
+    solid[3:, 5:7, 5:7] = True
+
+    solver.set_optical_properties(0.1, ka, ks, g)
+    solver.set_angles(sundir_from_angles(0.0, 1e-3))  # overhead sun
+    solver.set_buildings(Buildings(solid=jnp.asarray(solid), albedo=0.8))
+    solver.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    fl = solver.get_building_fluxes()
+
+    roof = {k: np.asarray(v) for k, v in fl["roof"].items()}
+    # the roof (top of cell 3 in the tower footprint) sees ~the TOA beam
+    assert 900.0 < roof["edir"][3, 6, 6] < 1050.0, roof["edir"][3, 6, 6]
+    assert roof["incoming"][3, 6, 6] >= roof["edir"][3, 6, 6]
+    # outgoing = albedo * incoming (no thermal emission here)
+    np.testing.assert_allclose(
+        roof["outgoing"][3, 6, 6], 0.8 * roof["incoming"][3, 6, 6], rtol=1e-5
+    )
+    # non-exposed cells carry nothing
+    assert roof["incoming"][4, 6, 6] == 0.0
+    assert roof["incoming"][3, 0, 0] == 0.0
+    # walls see only diffuse (overhead sun): small but nonnegative
+    for k in ("wall_x_low", "wall_x_high", "wall_y_low", "wall_y_high"):
+        w = np.asarray(fl[k]["incoming"])
+        assert w.min() >= 0.0
+        assert w[3, 5, 5] < roof["incoming"][3, 6, 6]
+
+
+def test_building_face_fluxes_thermal(opp_small):
+    """Thermal emission from building faces shows up in outgoing."""
+    import jax.numpy as jnp
+
+    nz, nx, ny = 5, 8, 8
+    grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+    solver = PprtsSolver(grid, opp_small)
+    ka = np.full((nz, nx, ny), 1e-4, np.float32)
+    ks = np.full((nz, nx, ny), 1e-5, np.float32)
+    g = np.zeros((nz, nx, ny), np.float32)
+    planck = np.full((nz + 1, nx, ny), 10.0, np.float32)
+    solid = np.zeros((nz, nx, ny), bool)
+    solid[3:, 3:5, 3:5] = True
+    bpl = jnp.where(jnp.asarray(solid), 20.0, 0.0)
+
+    solver.set_optical_properties(0.05, ka, ks, g, planck=planck)
+    solver.set_buildings(Buildings(solid=jnp.asarray(solid), albedo=0.1, planck=bpl))
+    solver.solve(lthermal=True, lsolar=False)
+    fl = solver.get_building_fluxes()
+    roof = {k: np.asarray(v) for k, v in fl["roof"].items()}
+    # outgoing dominated by emission (1-a)*pi*B = 0.9*pi*20 ~ 56.5
+    assert abs(roof["outgoing"][3, 4, 4] - (0.1 * roof["incoming"][3, 4, 4] + 0.9 * np.pi * 20.0)) < 1e-3
+    # sky longwave onto the roof: thin atmosphere above (tau ~ 0.03)
+    # emits a ~W/m2-scale downwelling
+    assert roof["incoming"][3, 4, 4] > 0.5

@@ -17,7 +17,21 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def _honor_platform_env():
+    """An explicit JAX_PLATFORMS request (e.g. cpu generation while the
+    TPU is busy) must win over the host sitecustomize's forced
+    accelerator registration."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+
 def main():
+    _honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("scheme", help="stream scheme, e.g. 3_10")
     ap.add_argument(
