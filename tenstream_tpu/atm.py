@@ -282,8 +282,13 @@ def setup_tenstr_atm(
     """
     plev = np.asarray(plev, np.float64)
     tlev = np.asarray(tlev, np.float64)
-    shape2 = plev.shape[1:] if plev.ndim > 1 else (
-        tlev.shape[1:] if tlev.ndim > 1 else ())
+    # horizontal shape from ANY per-column input (a 1-D pressure grid
+    # with 3-D cloud fields is a common host-model pattern)
+    shape2 = ()
+    for a in (plev, tlev, tlay, h2ovmr, o3vmr, lwc, reliq, iwc, reice, cfrac):
+        if a is not None and np.ndim(a) > 1:
+            shape2 = np.shape(a)[1:]
+            break
     plev = _col3(plev, shape2)
     tlev = _col3(tlev, shape2)
     nlev_d = plev.shape[0]

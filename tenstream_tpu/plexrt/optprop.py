@@ -59,11 +59,14 @@ class WedgeLUT(NamedTuple):
 
 
 def test_axes() -> WedgeAxes:
+    # NOTE the w0 axis must reach ~1: conservative clouds clipped to a
+    # lower w0 fabricate absorption (round-2 fix; cost a 26% TOA-albedo
+    # bias in the first MC cross-validation)
     return WedgeAxes(
-        tau=np.array([1e-10, 0.5, 3.0], np.float32),
-        w0=np.array([0.0, 0.9], np.float32),
+        tau=np.array([1e-10, 0.1, 0.5, 1.5, 4.0, 15.0], np.float32),
+        w0=np.array([0.0, 0.5, 0.9, 0.99999], np.float32),
         aspect=np.array([0.4, 1.0, 2.5], np.float32),
-        g=np.array([0.0, 0.5], np.float32),
+        g=np.array([0.0, 0.5, 0.85], np.float32),
         phi=np.linspace(0.0, 360.0, 7).astype(np.float32),
         theta=np.array([0.0, 40.0, 75.0], np.float32),
     )

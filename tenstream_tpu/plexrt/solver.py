@@ -114,7 +114,12 @@ class PlexrtSolver:
         reference explicit sweep `plex_rt.F90:2579+`)."""
         g = self.grid
         shape2 = (2, g.nx, g.ny)
-        top0 = jnp.full(shape2, edirTOA * g.area_tri, ireals)
+        # TOA source: E0 is the beam flux, projected onto the horizontal
+        # top faces with mu (reference `create_edir_src_vec`,
+        # `plexrt/plex_rt.F90:1617-1623`: xv = E0 * area * mu_top)
+        sd = np.asarray(self._sundir, np.float64)
+        mu = jnp.asarray(abs(sd[2]) / np.linalg.norm(sd), ireals)
+        top0 = jnp.full(shape2, edirTOA * g.area_tri, ireals) * mu
 
         def layer(top_in, C):  # C: (2,nx,ny, src=4, dst=5)
             I = jnp.zeros((3,) + shape2, ireals)

@@ -1,0 +1,270 @@
+"""Wedge solver on unstructured triangle meshes (ICON grids).
+
+Parity: reference `plexrt/plex_rt.F90` on DMPlex meshes built from ICON
+grids (`plexrt/icon_plex_utils.F90`).  Same physics as the structured
+`plexrt.solver.PlexrtSolver`; the mesh is a `plexrt.icon.TriMesh` and
+every neighbor exchange is one gather through the mesh's flat
+(cell, side) index table — no DMPlex, no MPI-SF.
+
+State layout (flat cells, nc = mesh.ncell):
+  edir per layer : (4, nc)      [top_in, side0..2 inflow]
+  ediff z-faces  : E (2, nz+1, nc)   dof0 Edn, dof1 Eup
+  ediff side OUT : F (2, nz, nc, 3)  [dn, up] outflow per cell side
+Lateral domain boundaries are open (vacuum) — inflow gathers return
+zero there (reference `plex_rt.F90:4341`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tenstream_tpu.core.types import PI, ireals
+from tenstream_tpu.ops.planck import b_eff
+from tenstream_tpu.plexrt.icon import TriMesh
+from tenstream_tpu.plexrt.optprop import WedgeOptProp
+from tenstream_tpu.plexrt.wedge_boxmc import NDIFF
+
+
+class PlexSolutionU(NamedTuple):
+    edir: Optional[jnp.ndarray]  # (nz+1, nc) [W] through z-faces
+    edn: jnp.ndarray  # (nz+1, nc) [W]
+    eup: jnp.ndarray
+    abso: jnp.ndarray  # (nz, nc) [W/m3]
+
+
+class PlexrtSolverIcon:
+    """Monochromatic wedge_5_8 solve on a TriMesh extruded over nz
+    layers of thickness dz (TOA -> surface)."""
+
+    def __init__(self, mesh: TriMesh, dz, opp: WedgeOptProp,
+                 n_inner: int = 24, diff_iters: int = 300,
+                 diff_rtol: float = 1e-5):
+        self.mesh = mesh
+        self.dz = np.broadcast_to(np.asarray(dz, np.float32).ravel(), (np.size(dz),)).copy() \
+            if np.ndim(dz) else np.asarray([dz], np.float32)
+        self.nz = self.dz.shape[0]
+        self.opp = opp
+        self.n_inner = n_inner
+        self.diff_iters = diff_iters
+        self.diff_rtol = diff_rtol
+        self._sundir = None
+
+        self._ex_idx = jnp.asarray(mesh.exchange_index().reshape(-1))  # (nc*3,)
+        self._ex_mask = jnp.asarray(mesh.exchange_mask(), ireals)  # (nc, 3)
+        self._area = jnp.asarray(mesh.area, ireals)  # (nc,)
+        self._side_len = jnp.asarray(mesh.side_len, ireals)  # (nc, 3)
+        self._phi_rot = jnp.asarray(mesh.phi_rot, ireals)  # (nc,)
+
+    def set_angles(self, sundir) -> None:
+        self._sundir = np.asarray(sundir, np.float64)
+
+    def set_optical_properties(self, albedo, kabs, ksca, g, planck=None,
+                               planck_srfc=None) -> None:
+        """kabs/ksca/g: (nz, nc); planck: (nz+1, nc)."""
+        self._albedo = albedo
+        self._kabs = jnp.asarray(kabs, ireals)
+        self._ksca = jnp.asarray(ksca, ireals)
+        self._g = jnp.asarray(g, ireals)
+        self._planck = None if planck is None else jnp.asarray(planck, ireals)
+        self._planck_srfc = None if planck_srfc is None else jnp.asarray(planck_srfc, ireals)
+
+    # ------------------------------------------------------------------
+    def _exchange(self, out_side):
+        """in[..., c, s] = out[..., nbr[c,s], nbr_side[c,s]] (0 at open
+        boundaries).  out_side: (..., nc, 3)."""
+        flat = out_side.reshape(out_side.shape[:-2] + (-1,))
+        gathered = jnp.take(flat, self._ex_idx, axis=-1)
+        return gathered.reshape(out_side.shape) * self._ex_mask
+
+    def _sun_angles(self) -> Tuple[float, float, float]:
+        s = self._sundir / np.linalg.norm(self._sundir)
+        theta = float(np.rad2deg(np.arccos(np.clip(-s[2], -1.0, 1.0))))
+        phi = float(np.rad2deg(np.arctan2(s[0], s[1])))  # photon azimuth
+        mu = float(max(-s[2], 1e-6))
+        return phi, theta, mu
+
+    def _coeffs(self, need_dir: bool):
+        dz3 = jnp.asarray(self.dz, ireals)[:, None]  # (nz, 1)
+        kext = self._kabs + self._ksca
+        tauz = kext * dz3
+        w0 = self._ksca / jnp.maximum(kext, jnp.finfo(ireals).tiny)
+        # characteristic horizontal length of the canonical triangle
+        L = jnp.sqrt(2.0 * self._area)[None, :]
+        aspect = dz3 / L
+        f2f = self.opp.diff_coeffs(tauz, w0, self._g, aspect)
+        d2d = d2f = None
+        if need_dir:
+            phi, theta, _ = self._sun_angles()
+            # sun azimuth in each cell's canonical frame: the cell is the
+            # canonical triangle rotated by phi_rot, so the azimuth seen
+            # from the canonical frame shifts by -phi_rot... the
+            # structured mesh (T1 = 180-degree rotation, looked up at
+            # phi+180) pins the sign: +phi_rot.
+            phi_cell = jnp.asarray(phi, ireals) + self._phi_rot[None, :]
+            d2d, d2f = self.opp.dir_coeffs(tauz, w0, self._g, aspect, phi_cell, theta)
+        return f2f, d2d, d2f
+
+    # ------------------------------------------------------------------
+    def _solve_edir(self, d2d, edirTOA: float):
+        nc = self.mesh.ncell
+        sd = np.asarray(self._sundir, np.float64)
+        mu = jnp.asarray(abs(sd[2]) / np.linalg.norm(sd), ireals)
+        top0 = self._area * edirTOA * mu  # (nc,)
+
+        def layer(top_in, C):  # C: (nc, 4, 5)
+            I = jnp.zeros((3, nc), ireals)
+
+            def inner(_, I):
+                v = jnp.concatenate([top_in[None], I], axis=0)  # (4, nc)
+                out = jnp.einsum("sc,csd->dc", v, C)  # (5, nc)
+                out_side = jnp.moveaxis(out[1:4], 0, -1)  # (nc, 3)
+                inflow = self._exchange(out_side)  # (nc, 3)
+                return jnp.moveaxis(inflow, -1, 0)
+
+            I = jax.lax.fori_loop(0, self.n_inner, inner, I)
+            v = jnp.concatenate([top_in[None], I], axis=0)
+            out = jnp.einsum("sc,csd->dc", v, C)
+            bot = out[4]
+            # open-boundary side outflow leaves the domain: count it as
+            # escaped, not absorbed
+            out_side = jnp.moveaxis(out[1:4], 0, -1)
+            escaped = (out_side * (1.0 - self._ex_mask)).sum(-1)
+            net = top_in + I.sum(0) - out.sum(0)
+            return bot, (bot, net, I, escaped)
+
+        _, (bots, net, sides, escaped) = jax.lax.scan(layer, top0, d2d)
+        edir = jnp.concatenate([top0[None], bots], axis=0)  # (nz+1, nc)
+        return edir, net, sides, escaped
+
+    # ------------------------------------------------------------------
+    def _gather_in(self, E, F):
+        """Per-cell incoming 8-vector (wedge dof order)."""
+        ins = [E[0, :-1]]  # (nz, nc)
+        in_dn = self._exchange(F[0])  # (nz, nc, 3)
+        in_up = self._exchange(F[1])
+        for s in range(3):
+            ins.append(in_dn[..., s])
+            ins.append(in_up[..., s])
+        ins.append(E[1, 1:])
+        return jnp.stack(ins, axis=0)  # (8, nz, nc)
+
+    def _diff_op(self, f2f, E, F, b, albedo, dir_sfc):
+        v = self._gather_in(E, F)
+        out = jnp.einsum("skc,kcsd->dkc", v, f2f)  # (8, nz, nc)
+
+        Eup_new = jnp.zeros_like(E[1]).at[:-1].set(out[0])
+        Edn_new = jnp.zeros_like(E[0]).at[1:].set(out[7])
+        F_dn = jnp.stack([out[1 + 2 * s] for s in range(3)], axis=-1)
+        F_up = jnp.stack([out[2 + 2 * s] for s in range(3)], axis=-1)
+        F_new = jnp.stack([F_dn, F_up], axis=0) + b[1]
+        E_new = jnp.stack([Edn_new, Eup_new], axis=0) + b[0]
+        refl = albedo * (E_new[0, -1] + dir_sfc)
+        E_new = E_new.at[1, -1].add(refl)
+        E_new = E_new.at[0, 0].set(0.0)
+        return E_new, F_new
+
+    def _sources(self, f2f, d2f, sides_dir, edir):
+        nz, nc = self.nz, self.mesh.ncell
+        bE = jnp.zeros((2, nz + 1, nc), ireals)
+        bF = jnp.zeros((2, nz, nc, 3), ireals)
+
+        def scatter(src):  # src: (8, nz, nc)
+            nonlocal bE, bF
+            bE = bE.at[1, :-1].add(src[0])
+            bE = bE.at[0, 1:].add(src[7])
+            dn = jnp.stack([src[1 + 2 * s] for s in range(3)], axis=-1)
+            up = jnp.stack([src[2 + 2 * s] for s in range(3)], axis=-1)
+            bF = bF + jnp.stack([dn, up], axis=0)
+
+        if d2f is not None and edir is not None:
+            v = jnp.concatenate([edir[:-1][None], jnp.moveaxis(sides_dir, 1, 0)], axis=0)
+            scatter(jnp.einsum("skc,kcsd->dkc", v, d2f))
+
+        if self._planck is not None:
+            dz3 = jnp.asarray(self.dz, ireals)[:, None]
+            tauz = self._kabs * dz3
+            b0, b1 = self._planck[:-1], self._planck[1:]
+            btop = b_eff(b1, b0, tauz)
+            bbot = b_eff(b0, b1, tauz)
+            emis = jnp.clip(1.0 - f2f.sum(-1), 0.0, 1.0)  # (nz, nc, 8)
+            em = []
+            for d in range(NDIFF):
+                if d == 0:
+                    val = btop * PI * self._area[None] * emis[..., 0]
+                elif d == 7:
+                    val = bbot * PI * self._area[None] * emis[..., 7]
+                else:
+                    s = (d - 1) // 2
+                    up = (d - 1) % 2
+                    area = self._side_len[None, :, s] * dz3
+                    bsrc = btop if up else bbot
+                    val = bsrc * PI * area * 0.5 * emis[..., d]
+                em.append(val)
+            scatter(jnp.stack(em, axis=0))
+            bsfc = self._planck[-1] if self._planck_srfc is None else self._planck_srfc
+            bE = bE.at[1, -1].add((1.0 - self._albedo) * PI * self._area * bsfc)
+        return bE, bF
+
+    # ------------------------------------------------------------------
+    def solve(self, lthermal: bool, lsolar: bool, edirTOA: float = 0.0) -> PlexSolutionU:
+        nz, nc = self.nz, self.mesh.ncell
+        need_dir = bool(lsolar and self._sundir is not None and -self._sundir[2] > 1e-6)
+        f2f, d2d, d2f = self._coeffs(need_dir)
+
+        edir = None
+        sides_dir = None
+        dir_net = jnp.zeros((nz, nc), ireals)
+        if need_dir:
+            edir, dir_net, sides_dir, _ = self._solve_edir(d2d, edirTOA)
+
+        if need_dir or lthermal:
+            bE, bF = self._sources(f2f, d2f if need_dir else None, sides_dir, edir)
+        else:
+            bE = jnp.zeros((2, nz + 1, nc), ireals)
+            bF = jnp.zeros((2, nz, nc, 3), ireals)
+
+        albedo = jnp.asarray(self._albedo, ireals)
+        dir_sfc = edir[-1] if edir is not None else jnp.zeros((nc,), ireals)
+
+        E = jnp.zeros((2, nz + 1, nc), ireals)
+        F = jnp.zeros((2, nz, nc, 3), ireals)
+
+        def it(state):
+            i, E, F, res = state
+            E2, F2 = self._diff_op(f2f, E, F, (bE, bF), albedo, dir_sfc)
+            res = jnp.sqrt(jnp.sum((E2 - E) ** 2) + jnp.sum((F2 - F) ** 2))
+            return i + 1, E2, F2, res
+
+        def cond(state):
+            i, E, F, res = state
+            norm = jnp.sqrt(jnp.sum(E ** 2) + jnp.sum(F ** 2))
+            return jnp.logical_and(
+                i < self.diff_iters,
+                res > self.diff_rtol * jnp.maximum(norm, 1e-10),
+            )
+
+        _, E, F, _ = jax.lax.while_loop(
+            cond, it, (0, E, F, jnp.asarray(jnp.inf, ireals))
+        )
+
+        diff_net = self._diff_divergence(E, F, bE, bF, f2f)
+        vol = jnp.asarray(self.dz, ireals)[:, None] * self._area[None]
+        abso = (dir_net + diff_net) / vol
+        return PlexSolutionU(edir, E[0], E[1], abso)
+
+    def _diff_divergence(self, E, F, bE, bF, f2f):
+        v = self._gather_in(E, F)
+        out = jnp.einsum("skc,kcsd->dkc", v, f2f)
+        src_tot = bE[1, :-1] + bE[0, 1:] + bF.sum(axis=(0, -1))
+        return v.sum(0) - out.sum(0) - src_tot
+
+    # ------------------------------------------------------------------
+    def get_result(self, sol: PlexSolutionU):
+        """(edir, edn, eup, abso) in W/m2 / W/m3 per triangle column."""
+        a = self._area[None]
+        edir = None if sol.edir is None else sol.edir / a
+        return edir, sol.edn / a, sol.eup / a, sol.abso

@@ -224,7 +224,7 @@ class EcckdGasOptics:
             g_g.astype(np.float32),
         )
 
-    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m):
+    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m, gsel: slice = slice(None)):
         """Per-gpoint water-cloud (tau, w0, g), shapes (ngpt, *grid)."""
         reff_grid, kext_g, w0_g, g_g = self._cloud_tables(kind)
         lwp = jnp.asarray(lwc_gm3, ireals) * 1e-3 * jnp.asarray(dz_m, ireals)  # kg/m2
@@ -235,8 +235,8 @@ class EcckdGasOptics:
         w = (fr - i0)[None]
 
         def gi(tbl):
-            t = jnp.asarray(tbl, ireals)
-            return t[:, i0] * (1 - w) + t[:, i0 + 1] * w  # (ngpt, *grid)
+            t = jnp.asarray(tbl, ireals)[gsel]
+            return t[:, i0] * (1 - w) + t[:, i0 + 1] * w  # (ngpt_sel, *grid)
 
         tau = gi(kext_g) * lwp[None]
         return tau, gi(w0_g), gi(g_g)
@@ -279,7 +279,7 @@ class EcckdGasOptics:
         self._ice_cache = cache
         return out
 
-    def ice_optprops_gpt(self, kind: str, iwc_gm3, reice_um, dz_m):
+    def ice_optprops_gpt(self, kind: str, iwc_gm3, reice_um, dz_m, gsel: slice = slice(None)):
         """Per-gpoint ice-cloud (tau, w0, g), shapes (ngpt, *grid)."""
         reff_grid, kext_g, w0_g, g_g = self._ice_tables(kind)
         iwp = jnp.asarray(iwc_gm3, ireals) * 1e-3 * jnp.asarray(dz_m, ireals)  # kg/m2

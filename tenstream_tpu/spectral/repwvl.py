@@ -220,7 +220,7 @@ class RepwvlOptics:
         )
 
     # ------------------------------------------------------------------
-    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m):
+    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m, gsel: slice = slice(None)):
         """Per-wavelength Mie water-cloud optics from the repwvl mie
         table (`mie_tables.F90`; ext in [km^-1/(g/m^3)])."""
         import jax.numpy as jnp
@@ -246,14 +246,14 @@ class RepwvlOptics:
         w = (fr - j0)[None]
 
         def gi(t):
-            t = jnp.asarray(t, ireals)
+            t = jnp.asarray(t, ireals)[gsel]
             return t[:, j0] * (1 - w) + t[:, j0 + 1] * w
 
         # ext [km^-1/(g/m^3)] * lwc [g/m3] * dz [m] * 1e-3
         tau = gi(ext) * jnp.asarray(lwc_gm3, ireals)[None] * jnp.asarray(dz_m, ireals)[None] * 1e-3
         return tau, gi(ssa), gi(gg)
 
-    def ice_optprops_gpt(self, kind: str, iwc_gm3, reice_um, dz_m):
+    def ice_optprops_gpt(self, kind: str, iwc_gm3, reice_um, dz_m, gsel: slice = slice(None)):
         """Per-wavelength Fu ice optics (reference couples Fu96/Fu98 the
         same way, `repwvl_optprop.F90:164-181`)."""
         import jax.numpy as jnp
@@ -265,7 +265,7 @@ class RepwvlOptics:
         kext, w0, g = fu_ice_optprop(
             tb["wvl"] * 1e-3, np.asarray(reice_um), solar=(kind == "sw")
         )
-        tau = (jnp.asarray(kext, ireals)
+        tau = (jnp.asarray(kext, ireals)[gsel]
                * jnp.asarray(iwc_gm3, ireals)[None]
                * jnp.asarray(dz_m, ireals)[None])
-        return tau, jnp.asarray(w0, ireals), jnp.asarray(g, ireals)
+        return tau, jnp.asarray(w0, ireals)[gsel], jnp.asarray(g, ireals)[gsel]

@@ -374,7 +374,7 @@ class RrtmgSwOptics:
         self._cloud_cache = (mie["effective_radius"] * 1e6, kext_g, w0_g, g_g)
         return self._cloud_cache
 
-    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m):
+    def cloud_optprops_gpt(self, kind: str, lwc_gm3, reff_um, dz_m, gsel: slice = slice(None)):
         """Per-gpoint water-cloud (tau, w0, g), shapes (ngpt, *grid)."""
         import jax.numpy as jnp
 
@@ -388,7 +388,7 @@ class RrtmgSwOptics:
         w = (fr - i0)[None]
 
         def gi(tbl):
-            t = jnp.asarray(tbl, ireals)
+            t = jnp.asarray(tbl, ireals)[gsel]
             return t[:, i0] * (1 - w) + t[:, i0 + 1] * w
 
         tau = gi(kext_g) * lwp[None]

@@ -261,27 +261,33 @@ def specint_pprts(
             return a[..., None, None] * jnp.ones((nx, ny), ireals)
         return a
 
-    def batched_fields(sp: SpectralOptProps, kind: str = "sw"):
+    def batched_fields(sp: SpectralOptProps, kind: str = "sw", gsel: slice = slice(None)):
         """Broadcast the column gas props to 3-D and merge liquid + ice
-        clouds (per-gpoint optics when the backend provides them)."""
-        tau_g = to3d(sp.tau)
-        w0_g = to3d(sp.w0)
-        g_g = to3d(sp.g)
+        clouds (per-gpoint optics when the backend provides them).
+
+        `gsel` restricts to a g-point chunk so the (ngpt, nlay, nx, ny)
+        temporaries never materialize for the whole spectrum at once —
+        at 256^2 x 128 a single full-spectrum field is >1 GB and the
+        assembly temporaries exhaust HBM (the memory wall the BASELINE
+        config-4 scene exposes)."""
+        tau_g = to3d(sp.tau[gsel])
+        w0_g = to3d(sp.w0[gsel])
+        g_g = to3d(sp.g[gsel])
         if has_gpt_clouds:
             tc, wc, gc = backend.cloud_optprops_gpt(
-                kind, jnp.asarray(lwc, ireals), reff_cells, dz3d
+                kind, jnp.asarray(lwc, ireals), reff_cells, dz3d, gsel=gsel
             )
         else:
             tc, wc, gc = tau_c[None], w0_c[None], g_c[None]
         mcmask = None
         if _mcica_mask is not None:
-            mcmask = _mcica_mask(kind, tau_g.shape[0]).astype(ireals)
+            mcmask = _mcica_mask(kind, sp.tau.shape[0]).astype(ireals)[gsel]
         if mcmask is not None and lwc is not None:
             tc = tc * mcmask
         tau, w0, g = _merge_cloud(tau_g, w0_g, g_g, tc, wc, gc)
         if has_gpt_ice:
             ti, wi, gi = backend.ice_optprops_gpt(
-                kind, jnp.asarray(iwc, ireals), reice_cells, dz3d
+                kind, jnp.asarray(iwc, ireals), reice_cells, dz3d, gsel=gsel
             )
             if mcmask is not None:
                 ti = ti * mcmask
@@ -313,8 +319,7 @@ def specint_pprts(
 
     def run_chunks(sp: SpectralOptProps, solar: bool, uid_tag: str):
         nonlocal edir_acc, edn, eup, abso
-        kabs_b, ksca_b, g_b = batched_fields(sp, "sw" if solar else "lw")
-        ngpt = kabs_b.shape[0]
+        ngpt = sp.tau.shape[0]
         has_planck = sp.planck is not None
         fn = solver._solve_fn(lthermal=has_planck, lsolar=solar, has_planck_srfc=sp.planck_srfc is not None)
         vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0))
@@ -363,8 +368,11 @@ def specint_pprts(
             if x0.shape[0] != nb:  # trailing partial chunk
                 x0 = x0[:nb]
                 om0 = om0[:nb]
+            kabs_b, ksca_b, g_b = batched_fields(
+                sp, "sw" if solar else "lw", gsel=slice(lo, hi)
+            )
             edir_b, ediff_b, abso_b, niter_b, om_b, res_b = vfn(
-                kabs_b[lo:hi], ksca_b[lo:hi], g_b[lo:hi], a2d,
+                kabs_b, ksca_b, g_b, a2d,
                 planck_b, psrfc_b, toa_b, x0, om0,
             )
             from tenstream_tpu.pprts.solver import Solution

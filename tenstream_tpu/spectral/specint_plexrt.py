@@ -94,9 +94,11 @@ def specint_plexrt(
                     (nz + 1, 2, nx, ny), ireals
                 )
             solver.set_optical_properties(albedo, kabs, ksca, gg, planck=planck)
+            # weight is the per-gpt beam irradiance; the solver applies
+            # the E0*mu_top TOA projection itself (plexrt parity)
             sol = solver.solve(
                 lthermal=not solar, lsolar=solar,
-                edirTOA=float(sp.weight[igpt]) * mu if solar else 0.0,
+                edirTOA=float(sp.weight[igpt]) if solar else 0.0,
             )
             if solar:
                 edir_acc = sol.edir if edir_acc is None else edir_acc + sol.edir

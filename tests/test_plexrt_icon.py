@@ -1,0 +1,161 @@
+"""Unstructured (ICON-style) wedge meshes + solver
+(reference `plexrt/icon_grid.F90`, `icon_plex_utils.F90`)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tenstream_tpu.plexrt.icon import (
+    TriMesh,
+    read_icon_grid,
+    rotate_mesh,
+    trimesh_from_structured,
+    write_icon_grid,
+)
+from tenstream_tpu.plexrt.optprop import WedgeOptProp, load_or_create_wedge_lut
+from tenstream_tpu.plexrt.solver_unstructured import PlexrtSolverIcon
+
+_LUTDIR = os.path.join(os.path.dirname(__file__), "data", "luts")
+
+
+@pytest.fixture(scope="module")
+def opp():
+    return WedgeOptProp(load_or_create_wedge_lut(n_photons=1500, basename=_LUTDIR))
+
+
+def _sundir(phi_deg, theta_deg):
+    p, t = np.deg2rad(phi_deg), np.deg2rad(theta_deg)
+    return np.array([np.sin(p) * np.sin(t), np.cos(p) * np.sin(t), -np.cos(t)])
+
+
+def test_structured_trimesh_adjacency():
+    m = trimesh_from_structured(4, 3, 100.0, 100.0)
+    assert m.ncell == 24
+    # every interior adjacency is reciprocal
+    for c in range(m.ncell):
+        for s in range(3):
+            n = m.nbr[c, s]
+            if n >= 0:
+                assert m.nbr[n, m.nbr_side[c, s]] == c
+    # congruent half-rectangle triangles
+    np.testing.assert_allclose(m.area, 5000.0)
+    # orientations: alternating 0 and 180 degrees
+    phis = np.mod(m.phi_rot, 360.0)
+    np.testing.assert_allclose(phis[0::2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(phis[1::2], 180.0, atol=1e-6)
+
+
+def test_icon_file_roundtrip(tmp_path):
+    m = trimesh_from_structured(3, 3, 80.0, 120.0)
+    path = str(tmp_path / "icon_grid.nc")
+    write_icon_grid(path, m)
+    m2 = read_icon_grid(path)
+    assert m2.ncell == m.ncell
+    # topology identical
+    np.testing.assert_array_equal(m2.nbr, m.nbr)
+    np.testing.assert_array_equal(m2.nbr_side, m.nbr_side)
+    # geometry preserved up to a rigid rotation of the tangent plane
+    np.testing.assert_allclose(m2.area, m.area, rtol=1e-4)
+    np.testing.assert_allclose(m2.side_len, m.side_len, rtol=1e-4)
+
+
+def test_transparent_open_domain(opp):
+    m = trimesh_from_structured(6, 6, 100.0, 100.0)
+    nz = 4
+    s = PlexrtSolverIcon(m, np.full(nz, 100.0), opp)
+    z = np.full((nz, m.ncell), 1e-10, np.float32)
+    s.set_optical_properties(0.0, z, z, np.zeros_like(z))
+    s.set_angles(_sundir(0.0, 1e-3))  # overhead
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    np.testing.assert_allclose(edir[-1], 1000.0, rtol=1e-3)
+    assert np.abs(abso).max() < 1e-3
+
+
+def test_rotation_invariance(opp):
+    """Rotating the mesh and the sun together must not change any flux —
+    pins the per-cell phi_rot convention of the LUT lookup."""
+    base = trimesh_from_structured(6, 6, 100.0, 100.0)
+    ang = 33.0
+    rot = rotate_mesh(base, ang)
+    nz = 4
+    rng = np.random.default_rng(0)
+    ka = (1e-4 + 1e-3 * rng.random((nz, base.ncell))).astype(np.float32)
+    ks = (1e-4 + 5e-3 * rng.random((nz, base.ncell))).astype(np.float32)
+    gg = np.full((nz, base.ncell), 0.5, np.float32)
+
+    def run(mesh, phi):
+        s = PlexrtSolverIcon(mesh, np.full(nz, 100.0), opp)
+        s.set_optical_properties(0.2, ka, ks, gg)
+        s.set_angles(_sundir(phi, 40.0))
+        sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+        return map(np.asarray, s.get_result(sol))
+
+    e1, d1, u1, a1 = run(base, 50.0)
+    # the mesh rotated ccw by `ang` sees the same scene when the sun
+    # azimuth (measured from +y toward +x, i.e. clockwise) DEcreases
+    # by ang
+    e2, d2, u2, a2 = run(rot, 50.0 - ang)
+    np.testing.assert_allclose(e1, e2, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(u1, u2, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(a1, a2, rtol=2e-3, atol=1e-7)
+
+
+def test_thermal_isothermal_icon(opp):
+    """Open lateral boundaries cool the rim; the DOMAIN CENTER of a
+    large enough mesh still reaches the isothermal equilibrium."""
+    nxr = 12
+    m = trimesh_from_structured(nxr, nxr, 100.0, 100.0)
+    nz = 6
+    s = PlexrtSolverIcon(m, np.full(nz, 100.0), opp)
+    ka = np.full((nz, m.ncell), 2e-2, np.float32)  # optically thick
+    pl = np.full((nz + 1, m.ncell), 3.0, np.float32)
+    s.set_optical_properties(0.0, ka, np.zeros_like(ka), np.zeros_like(ka), planck=pl)
+    sol = s.solve(lthermal=True, lsolar=False)
+    _, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    assert sol.edir is None
+    center = 2 * ((nxr // 2) * nxr + nxr // 2)
+    np.testing.assert_allclose(eup[0, center], np.pi * 3.0, rtol=0.05)
+    np.testing.assert_allclose(edn[-1, center], np.pi * 3.0, rtol=0.05)
+    # rim cells radiate into the open boundary: cooler than the center
+    rim = 0
+    assert eup[0, rim] < eup[0, center]
+
+
+def test_solar_energy_balance_open(opp):
+    """Open-domain energy budget: incoming = TOA-up + absorbed +
+    surface-net + lateral escape (implied residual must stay small for
+    an interior-dominated domain)."""
+    m = trimesh_from_structured(10, 10, 100.0, 100.0)
+    nz = 4
+    s = PlexrtSolverIcon(m, np.full(nz, 100.0), opp)
+    ka = np.full((nz, m.ncell), 3e-4, np.float32)
+    ks = np.full((nz, m.ncell), 1e-3, np.float32)
+    gg = np.full((nz, m.ncell), 0.4, np.float32)
+    s.set_optical_properties(0.3, ka, ks, gg)
+    s.set_angles(_sundir(30.0, 40.0))
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    mu = np.cos(np.deg2rad(40.0))
+    incoming = 1000.0 * mu
+    accounted = (eup[0].mean() + (abso * 100.0).sum(0).mean()
+                 + (edir[-1] + edn[-1] - eup[-1]).mean())
+    # the residual is lateral escape through the open boundary: the
+    # tilted beam (tan 40 deg over a 400 m column) starves an upwind
+    # strip and diffuse leaks at every rim cell — bounded but nonzero
+    assert 0.0 < incoming - accounted < 0.45 * incoming, (accounted, incoming)
+    # interior direct transmission matches Beer-Lambert on the slant
+    # path (delta-scaled extinction)
+    center = 2 * (5 * 10 + 5)
+    from tenstream_tpu.ops.delta_scale import delta_scale
+    import jax.numpy as jnp
+    ka_d, ks_d, _ = map(np.asarray, delta_scale(
+        jnp.asarray(ka[:, :1]), jnp.asarray(ks[:, :1]), jnp.asarray(gg[:, :1])))
+    tau_slant = float((ka_d + ks_d).sum(0) * 100.0 / mu)
+    expect = incoming * np.exp(-tau_slant)
+    # 8% tolerance: the coarse test-fixture tau axis linearly
+    # interpolates exp(-tau) between widely spaced nodes (the cube
+    # solver avoids this class entirely via the closed-form dir2dir;
+    # a wedge closed form is future work)
+    np.testing.assert_allclose(edir[-1, center], expect, rtol=0.08)

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Per-phase timing of the solve pipeline on the bench scene.
+
+Phases (each jitted and timed in isolation on the same inputs):
+  assemble  — LUT interpolation + coefficient field assembly
+  edir      — direct z-scan with cyclic side recurrences
+  sources   — dir2diff scattering source + surface reflection
+  ediff     — BiCGStab diffuse solve (warm and cold starts)
+  absorb    — flux-divergence absorption
+  gasoptics — ecCKD tau/planck computation (host-side numpy)
+
+Writes a markdown table to stdout; run on the TPU for the committed
+profile (docs/PROFILE_r2.md).  Honors JAX_PLATFORMS for CPU A/Bs.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from bench import NGPT, NX, NY, build_scene, load_bench_lut
+    from tenstream_tpu.core.types import ireals
+    from tenstream_tpu.optprop.facade import OptProp
+    from tenstream_tpu.pprts.coeffs import assemble_coeffs, determine_1d_layers
+    from tenstream_tpu.pprts.ediff import solve_bicgstab
+    from tenstream_tpu.pprts.edir import solve_edir
+    from tenstream_tpu.pprts.absorption import calc_flx_div
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.operators import (
+        dir2diff_source,
+        direct_surface_reflection,
+    )
+    from tenstream_tpu.pprts.sun import sundir_from_angles, suninfo_from_sundir
+    from tenstream_tpu.spectral.ecckd import EcckdGasOptics
+    from tenstream_tpu.streams import get_scheme
+
+    lut = load_bench_lut()
+    opp = OptProp(lut)
+    scheme = get_scheme("3_10")
+    atm, lwc = build_scene()
+    nlay = atm.nlay
+    grid = Grid.create(nlay, NX, NY, 100.0, 100.0, atm.dz.astype(np.float32))
+    sun = suninfo_from_sundir(sundir_from_angles(120.0, 40.0))
+    l1d = determine_1d_layers(grid.dz3d, grid.dx, 2.0)
+
+    gas = EcckdGasOptics(n_gpt=NGPT)
+    t0 = time.time()
+    sp = gas.solar(atm)
+    t_gas = time.time() - t0
+
+    # single-gpt fields with the cloud merged in (mid-band)
+    from tenstream_tpu.spectral.gasoptics import cloud_optprops
+    from tenstream_tpu.spectral.specint import _merge_cloud, _to_kfields
+    from tenstream_tpu.ops.delta_scale import delta_scale
+
+    k = NGPT // 2
+    tau_g = np.asarray(sp.tau)[k][:, None, None] * np.ones((NX, NY), np.float32)
+    w0_g = np.asarray(sp.w0)[k][:, None, None] * np.ones((NX, NY), np.float32)
+    g_g = np.asarray(sp.g)[k][:, None, None] * np.ones((NX, NY), np.float32)
+    reff = np.full_like(lwc, 10.0)
+    tc, wc, gc = cloud_optprops(jnp.asarray(lwc, ireals), jnp.asarray(reff, ireals), grid.dz3d)
+    tau, w0, g = _merge_cloud(jnp.asarray(tau_g), jnp.asarray(w0_g), jnp.asarray(g_g), tc, wc, gc)
+    kabs, ksca, g = delta_scale(*_to_kfields(tau, w0, g, grid.dz3d))
+
+    albedo2d = jnp.full((NX, NY), 0.15, ireals)
+
+    import functools
+
+    def timeit(fn, *args, reps=5, **kw):
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / reps, out
+
+    assemble = jax.jit(functools.partial(
+        assemble_coeffs, scheme, opp, dz3d=grid.dz3d, dx=grid.dx, l1d=l1d,
+        sun=sun, need_dir=True))
+    t_asm, (coeffs, edd) = timeit(lambda a, b, c: assemble(a, b, c), kabs, ksca, g)
+
+    inc = jnp.full((1, NX, NY), 1000.0 * grid.az, ireals)
+    t_edir, edir = timeit(
+        lambda dd, i: solve_edir(scheme, dd, i, sun.xinc, sun.yinc),
+        coeffs.dir2dir, inc)
+
+    srcfn = jax.jit(lambda df, e, a: dir2diff_source(scheme, df, e, sun.xinc, sun.yinc)
+                    + direct_surface_reflection(scheme, e, a))
+    t_src, b = timeit(srcfn, coeffs.dir2diff, edir, albedo2d)
+
+    x0 = jnp.zeros_like(b)
+    t_ediff_cold, (x, nit, res) = timeit(
+        lambda bb: solve_bicgstab(scheme, coeffs.diff2diff, bb, albedo2d,
+                                  x0=x0, maxiter=3000),
+        b, reps=3)
+    t_ediff_warm, _ = timeit(
+        lambda bb: solve_bicgstab(scheme, coeffs.diff2diff, bb, albedo2d,
+                                  x0=x, maxiter=3000),
+        b, reps=3)
+
+    a11, a12 = edd[0], edd[1]
+    t_abs, abso = timeit(
+        lambda xx: calc_flx_div(scheme, coeffs, xx, grid.volumes(), l1d,
+                                kabs, grid.dz3d, a11, a12, sun=sun, edir=edir),
+        x)
+
+    total = t_asm + t_edir + t_src + t_ediff_cold + t_abs
+    print(f"# scene {NX}x{NY}x{nlay}, backend {jax.default_backend()}, "
+          f"LUT diff table {np.asarray(lut.diff2diff).shape}")
+    print(f"# gas optics (host, all {NGPT} gpt): {t_gas*1e3:.0f} ms")
+    print()
+    print("| phase | ms/gpt | share |")
+    print("|---|---|---|")
+    for name, t in [("coeff assembly", t_asm), ("edir scan", t_edir),
+                    ("sources", t_src),
+                    (f"ediff BiCGStab cold (niter={int(nit)})", t_ediff_cold),
+                    ("absorption", t_abs)]:
+        print(f"| {name} | {t*1e3:.1f} | {t/total*100:.0f}% |")
+    print(f"| ediff warm-start rerun | {t_ediff_warm*1e3:.1f} | — |")
+    print(f"| total (cold, 1 gpt) | {total*1e3:.1f} | 100% |")
+
+
+if __name__ == "__main__":
+    main()
