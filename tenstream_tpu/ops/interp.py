@@ -36,19 +36,26 @@ def fractional_index(grid: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return i.astype(ireals) + frac
 
 
-def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Multilinear interpolation of `table` at fractional indices.
+def interp_multilinear_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Multilinear interpolation, channels-FIRST result.
 
     Args:
-      table: (n0, n1, ..., n_{k-1}, C) values; C trailing payload channels.
+      table: (n0, n1, ..., n_{k-1}, C...) values; trailing payload channels.
       fracs: k arrays of identical shape B, fractional indices per dim.
 
-    Returns: array of shape B + (C,).
+    Returns: array of shape C... + B.
+
+    TPU note: the per-corner gather is performed on the transposed
+    (C..., N) table so the huge batch axis lands on the minor (lane)
+    dimension.  Gathering (B, C) rows instead pads C up to the 128-lane
+    tile — measured 4.3x HBM expansion (7.9 GB per corner temp) on a
+    256x256x127 grid with C=30, which OOMed the BASELINE-scale scene.
     """
     k = len(fracs)
     dims = table.shape[:k]
     C = table.shape[k:]
-    flat = table.reshape((-1,) + C)
+    # (C..., N): one small host-side transpose of the table per call
+    flat_t = jnp.moveaxis(table.reshape((-1,) + C), 0, -1)
 
     i0 = []
     w1 = []
@@ -72,7 +79,27 @@ def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.
             idx = idx + (i0[d] + hi) * strides[d]
             wd = w1[d] if hi else (1.0 - w1[d])
             w = wd if w is None else w * wd
-        vals = jnp.take(flat, idx, axis=0)  # B + C
-        contrib = vals * w[(...,) + (None,) * len(C)]
+        vals = jnp.take(flat_t, idx, axis=-1)  # C... + B
+        contrib = vals * w[(None,) * len(C) + (...,)]
         out = contrib if out is None else out + contrib
+    return out
+
+
+def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Multilinear interpolation of `table` at fractional indices.
+
+    Args:
+      table: (n0, n1, ..., n_{k-1}, C...) values; trailing payload channels.
+      fracs: k arrays of identical shape B, fractional indices per dim.
+
+    Returns: array of shape B + C....
+
+    Prefer `interp_multilinear_cf` for large batches: this wrapper's
+    final transpose back to channels-last re-introduces the padded
+    layout at the output (fine for small B / payload-free tables).
+    """
+    C = table.shape[len(fracs):]
+    out = interp_multilinear_cf(table, fracs)
+    if C:
+        out = jnp.moveaxis(out, tuple(range(len(C))), tuple(range(-len(C), 0)))
     return out

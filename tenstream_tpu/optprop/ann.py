@@ -122,10 +122,11 @@ class AnnOptProp:
         if switch_x or switch_y:
             perm = _diff_dst_permutation(self.scheme, switch_x, switch_y)
             c_df = c_df[..., :, perm]
-        return c_dd, c_df
+        # stream dims lead (facade convention, see OptProp.dir_coeffs)
+        return jnp.moveaxis(c_dd, (-2, -1), (0, 1)), jnp.moveaxis(c_df, (-2, -1), (0, 1))
 
     def diff_coeffs(self, tauz, w0, g, aspect) -> jnp.ndarray:
         nf = self.scheme.ndiff
         X = _features(tauz, w0, aspect, g)
         Y = _mlp_apply(self._diff_params, X)
-        return Y.reshape(X.shape[:-1] + (nf, nf))
+        return jnp.moveaxis(Y.reshape(X.shape[:-1] + (nf, nf)), (-2, -1), (0, 1))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tenstream_tpu.core.types import ireals
-from tenstream_tpu.ops.interp import fractional_index, interp_multilinear
+from tenstream_tpu.ops.interp import fractional_index, interp_multilinear_cf
 from tenstream_tpu.optprop.lut import LUT
 from tenstream_tpu.streams import StreamScheme, get_scheme
 
@@ -120,7 +120,11 @@ class OptProp:
         switch_x: bool = False,
         switch_y: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(dir2dir, dir2diff) with shapes B+(ndir,ndir) and B+(ndir,ndiff).
+        """(dir2dir, dir2diff) with shapes (ndir,ndir)+B and (ndir,ndiff)+B.
+
+        Stream dims LEAD the batch so the huge cell axes stay on the TPU
+        minor tiles (channels-last gathers pad the stream dim to 128
+        lanes — a measured 4.3x HBM blowup at 256^2x127 scale).
 
         phi_deg is the symmetry azimuth in [0, 90]; switch_x/switch_y
         unfold the actual sun octant (reference `lswitch_east/north`).
@@ -136,26 +140,27 @@ class OptProp:
             c_dd = dir2dir_analytic(
                 self.scheme.name, tauz, aspect, phi_deg, theta_deg
             ).astype(ireals)
+            c_dd = jnp.moveaxis(c_dd, (-2, -1), (0, 1))
         else:
             t2d = self._slice_angles(self._dir2dir, phi_deg, theta_deg).astype(self._table_dtype)
-            c_dd = interp_multilinear(t2d.reshape(t2d.shape[:4] + (ndir * ndir,)), fr)
-            c_dd = c_dd.reshape(c_dd.shape[:-1] + (ndir, ndir))
-        c_df = interp_multilinear(t2f.reshape(t2f.shape[:4] + (ndir * ndiff,)), fr)
-        c_df = c_df.reshape(c_df.shape[:-1] + (ndir, ndiff))
+            c_dd = interp_multilinear_cf(t2d.reshape(t2d.shape[:4] + (ndir * ndir,)), fr)
+            c_dd = c_dd.reshape((ndir, ndir) + c_dd.shape[1:])
+        c_df = interp_multilinear_cf(t2f.reshape(t2f.shape[:4] + (ndir * ndiff,)), fr)
+        c_df = c_df.reshape((ndir, ndiff) + c_df.shape[1:])
         if switch_x or switch_y:
             q = _diff_dst_permutation(self.scheme, switch_x, switch_y)
             p = self.scheme.dir_switch_perm(switch_x, switch_y)
-            c_dd = c_dd[..., p, :][..., :, p]
-            c_df = c_df[..., p, :][..., :, q]
+            c_dd = c_dd[p, :][:, p]
+            c_df = c_df[p, :][:, q]
         return c_dd, c_df
 
     def diff_coeffs(self, tauz, w0, g, aspect) -> jnp.ndarray:
-        """diff2diff with shape B + (ndiff, ndiff)."""
+        """diff2diff with shape (ndiff, ndiff) + B (stream dims lead)."""
         fr = self._fracs(self._diff_grids, tauz, w0, aspect, g)
         nd = self.scheme.ndiff
         tbl = self._diff2diff.reshape(self._diff2diff.shape[:4] + (nd * nd,))
-        c = interp_multilinear(tbl, fr)
-        return c.reshape(c.shape[:-1] + (nd, nd))
+        c = interp_multilinear_cf(tbl, fr)
+        return c.reshape((nd, nd) + c.shape[1:])
 
 
 def check_energy_conservation(coeff_src_dst: jnp.ndarray, extra=None, tol: float = 1e-3) -> jnp.ndarray:

@@ -97,8 +97,7 @@ def assemble_coeffs(
     coeff_fn = eddington_coeff_zdun if use_zdun else eddington_coeff_ec
     a11, a12, a13, a23, a33 = coeff_fn(tauz, w0, g, jnp.asarray(mu, ireals))
 
-    c_ff = opp.diff_coeffs(tauz, w0, g, aspect)  # (Nz,Nx,Ny,s,d)
-    c_ff = jnp.moveaxis(c_ff, (-2, -1), (0, 1))
+    c_ff = opp.diff_coeffs(tauz, w0, g, aspect)  # (s,d,Nz,Nx,Ny) — streams lead
 
     dd1, df1, ff1 = _onedee_blocks(scheme, a11, a12, a13, a23, a33)
     mask = jnp.asarray(l1d, bool)[None, None, :, None, None]
@@ -116,8 +115,8 @@ def assemble_coeffs(
             switch_x=sun.switch_x,
             switch_y=sun.switch_y,
         )
-        c_dd = jnp.where(mask, dd1, jnp.moveaxis(dd, (-2, -1), (0, 1)))
-        c_df = jnp.where(mask, df1, jnp.moveaxis(df, (-2, -1), (0, 1)))
+        c_dd = jnp.where(mask, dd1, dd)
+        c_df = jnp.where(mask, df1, df)
 
     return CoeffFields(c_dd, c_df, c_ff), (a11, a12, a13, a23, a33)
 

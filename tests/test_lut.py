@@ -65,8 +65,9 @@ def test_facade_batched_grid(tiny_lut):
     w0 = rng.uniform(0, 0.9, shape).astype(np.float32)
     g = rng.uniform(0, 0.5, shape).astype(np.float32)
     c = opp.diff_coeffs(tauz, w0, g, np.float32(1.0))
-    assert c.shape == shape + (10, 10)
-    assert float(check_energy_conservation(c)) < 5e-3
+    assert c.shape == (10, 10) + shape  # streams lead (facade convention)
+    c_last = np.moveaxis(np.asarray(c), (0, 1), (-2, -1))
+    assert float(check_energy_conservation(c_last)) < 5e-3
 
 
 def test_symmetry_unfolding(tiny_lut):
