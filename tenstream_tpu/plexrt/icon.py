@@ -219,9 +219,9 @@ def _load_any_netcdf(path: str) -> dict:
         names = ncinfo(path)
         return {n: ncload(path, n) for n in names}
     except Exception:
-        from tenstream_tpu.utils.hdf5reader import read_hdf5
+        from tenstream_tpu.utils.hdf5reader import read_all
 
-        return read_hdf5(path)
+        return read_all(path)
 
 
 def write_icon_grid(path: str, mesh: TriMesh) -> None:

@@ -328,3 +328,16 @@ class PlexrtSolver:
         a = self.grid.area_tri
         edir = None if sol.edir is None else sol.edir / a
         return edir, sol.edn / a, sol.eup / a, sol.abso
+
+    def nca_absorption(self, sol: PlexSolution, tables=None) -> jnp.ndarray:
+        """3-D-corrected thermal heating rates via the Neighbouring
+        Column Approximation, [W/m^3] (reference `-plexrt_nca`,
+        `plexrt_external_solvers.F90:plexrt_nca_compute`)."""
+        if self._planck is None:
+            raise RuntimeError("NCA is a thermal correction: set planck first")
+        from tenstream_tpu.plexrt.nca import nca_structured
+
+        a = self.grid.area_tri
+        return nca_structured(
+            self.grid, self._kabs, self._planck, sol.edn / a, sol.eup / a, tables
+        )

@@ -268,3 +268,18 @@ class PlexrtSolverIcon:
         a = self._area[None]
         edir = None if sol.edir is None else sol.edir / a
         return edir, sol.edn / a, sol.eup / a, sol.abso
+
+    def nca_absorption(self, sol: PlexSolutionU, tables=None) -> jnp.ndarray:
+        """3-D-corrected thermal heating rates via the Neighbouring
+        Column Approximation, [W/m^3] (reference `-plexrt_nca`,
+        `plexrt_external_solvers.F90:plexrt_nca_compute`).  Thermal
+        only: requires planck to be set and a thermal `sol`."""
+        if self._planck is None:
+            raise RuntimeError("NCA is a thermal correction: set planck first")
+        from tenstream_tpu.plexrt.nca import nca_icon
+
+        a = self._area[None]
+        return nca_icon(
+            self.mesh, self.dz, self._kabs, self._planck,
+            sol.edn / a, sol.eup / a, tables,
+        )
