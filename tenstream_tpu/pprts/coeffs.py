@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,44 @@ def _onedee_blocks(scheme: StreamScheme, a11, a12, a13, a23, a33):
     return dir2dir, dir2diff, diff2diff
 
 
+def _zslab_map(fn, inputs, nz: int, z_slab: int):
+    """Apply `fn` (slab-of-(zc,Nx,Ny)-fields -> tuple of (C.., zc,Nx,Ny)
+    arrays) over z-slabs, writing into preallocated full-z buffers.
+
+    Memory wall at BASELINE scale: one batched LUT lookup over a
+    256x256x127 grid keeps 16 corner-gather temps of (B, C) rows live at
+    once — 34.7 GB unpadded, 138 GB with the 128-lane padding XLA's
+    gather canonicalization re-introduces (measured OOM report).  The
+    fori_loop + dynamic_update_slice structure bounds the live set to
+    ONE slab of temps plus the output buffers themselves.
+    """
+    n_steps = (nz + z_slab - 1) // z_slab
+    pad = n_steps * z_slab - nz
+    padded = [jnp.concatenate([x, x[-pad:]], axis=0) if pad else x for x in inputs]
+
+    out0 = jax.eval_shape(fn, *[x[:z_slab] for x in padded])
+    zax = [o.ndim - 3 for o in out0]  # z is always 3rd-from-last
+    bufs = tuple(
+        jnp.zeros(o.shape[: ax] + (n_steps * z_slab,) + o.shape[ax + 1:], o.dtype)
+        for o, ax in zip(out0, zax)
+    )
+
+    def body(i, bufs):
+        sl = [jax.lax.dynamic_slice_in_dim(x, i * z_slab, z_slab, axis=0) for x in padded]
+        outs = fn(*sl)
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(b, o, i * z_slab, axis=ax)
+            for b, o, ax in zip(bufs, outs, zax)
+        )
+
+    bufs = jax.lax.fori_loop(0, n_steps, body, bufs)
+    if pad:
+        bufs = tuple(
+            jax.lax.slice_in_dim(b, 0, nz, axis=ax) for b, ax in zip(bufs, zax)
+        )
+    return bufs
+
+
 def assemble_coeffs(
     scheme: StreamScheme,
     opp: OptProp,
@@ -86,8 +125,12 @@ def assemble_coeffs(
     sun: Optional[SunInfo],
     need_dir: bool,
     use_zdun: bool = False,
+    z_slab: int = 0,
 ) -> Tuple[CoeffFields, Tuple[jnp.ndarray, ...]]:
     """Build the coefficient fields and the eddington coefficient set.
+
+    z_slab > 0 evaluates the LUT lookups z-slab-wise (see `_zslab_map`)
+    to bound assembly temp memory on large grids; 0 = one batched call.
 
     Returns (CoeffFields, (a11, a12, a13, a23, a33)).
     """
@@ -97,24 +140,38 @@ def assemble_coeffs(
     coeff_fn = eddington_coeff_zdun if use_zdun else eddington_coeff_ec
     a11, a12, a13, a23, a33 = coeff_fn(tauz, w0, g, jnp.asarray(mu, ireals))
 
-    c_ff = opp.diff_coeffs(tauz, w0, g, aspect)  # (s,d,Nz,Nx,Ny) — streams lead
+    want_dir = bool(need_dir and sun is not None and sun.sun_up)
+    nz = tauz.shape[0]
+    if z_slab and 0 < z_slab < nz:
+        if want_dir:
+            def lookup(tz, w, gg, asp):
+                ff = opp.diff_coeffs(tz, w, gg, asp)
+                dd, df = opp.dir_coeffs(
+                    tz, w, gg, asp, sun.symmetry_phi, sun.theta,
+                    switch_x=sun.switch_x, switch_y=sun.switch_y,
+                )
+                return ff, dd, df
+
+            c_ff, dd, df = _zslab_map(lookup, (tauz, w0, g, aspect), nz, z_slab)
+        else:
+            (c_ff,) = _zslab_map(
+                lambda tz, w, gg, asp: (opp.diff_coeffs(tz, w, gg, asp),),
+                (tauz, w0, g, aspect), nz, z_slab,
+            )
+    else:
+        c_ff = opp.diff_coeffs(tauz, w0, g, aspect)  # (s,d,Nz,Nx,Ny)
+        if want_dir:
+            dd, df = opp.dir_coeffs(
+                tauz, w0, g, aspect, sun.symmetry_phi, sun.theta,
+                switch_x=sun.switch_x, switch_y=sun.switch_y,
+            )
 
     dd1, df1, ff1 = _onedee_blocks(scheme, a11, a12, a13, a23, a33)
     mask = jnp.asarray(l1d, bool)[None, None, :, None, None]
     c_ff = jnp.where(mask, ff1, c_ff)
 
     c_dd = c_df = None
-    if need_dir and sun is not None and sun.sun_up:
-        dd, df = opp.dir_coeffs(
-            tauz,
-            w0,
-            g,
-            aspect,
-            sun.symmetry_phi,
-            sun.theta,
-            switch_x=sun.switch_x,
-            switch_y=sun.switch_y,
-        )
+    if want_dir:
         c_dd = jnp.where(mask, dd1, dd)
         c_df = jnp.where(mask, df1, df)
 

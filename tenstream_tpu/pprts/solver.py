@@ -177,6 +177,7 @@ class PprtsSolver:
             self.scheme.name,
             tuple(np.asarray(self._l1d).tolist()),
             self.options.get("diff_solver", "bicgstab"),
+            self.options.get_int("pprts_assembly_z_slab", -1),
             self._buildings is not None,
             id(getattr(self, "_mesh", None)),
         )
@@ -218,12 +219,21 @@ class PprtsSolver:
         # slower than the XLA path on v5e at current block sizes, so off
         # by default — kept as an option for future tuning
         use_pallas_diff = self.options.get_bool("pprts_pallas_diffuse", False)
+        # z-slab-chunked LUT assembly: bound the corner-gather temps on
+        # large grids (see coeffs._zslab_map).  Auto: slabs of <=~1M
+        # cells once the grid exceeds 4M cells; -pprts_assembly_z_slab
+        # overrides (0 = force one batched call).
+        ncells = grid.nz * grid.nx * grid.ny
+        auto_slab = 0
+        if ncells > 4_000_000:
+            auto_slab = max(1, int(1_000_000 // max(grid.nx * grid.ny, 1)))
+        z_slab = self.options.get_int("pprts_assembly_z_slab", auto_slab)
 
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0, omega0):
             coeffs, (a11, a12, a13, a23, a33) = assemble_coeffs(
                 scheme, opp, kabs, ksca, g, grid.dz3d, grid.dx, l1d,
-                sun, need_dir=lsolar,
+                sun, need_dir=lsolar, z_slab=z_slab,
             )
             if (
                 use_geometric and lsolar and sun is not None and sun.sun_up

@@ -200,3 +200,27 @@ def test_solar_sun_below_horizon(opp):
     sol = solver.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
     edir, edn, eup, abso = solver.get_result()
     assert float(np.abs(np.asarray(sol.ediff)).max()) < 1e-6
+
+
+def test_zslab_assembly_matches_batched(opp):
+    """z-slab-chunked LUT assembly (the BASELINE-scale memory-wall fix,
+    `coeffs._zslab_map`) must reproduce the one-shot batched lookup to
+    f32 roundoff; nz=7 with slab 3 exercises the tail padding."""
+    rng = np.random.default_rng(7)
+    nz, nx, ny = 7, 6, 5
+    res = {}
+    for slab in (0, 3):
+        grid = Grid.create(nz, nx, ny, 100.0, 100.0, 80.0)
+        solver = PprtsSolver(grid, opp)
+        solver.options.set("pprts_assembly_z_slab", slab)
+        ka = rng.uniform(1e-5, 1e-2, (nz, nx, ny)).astype(np.float32)
+        ks = rng.uniform(1e-4, 0.2, (nz, nx, ny)).astype(np.float32)
+        gg = rng.uniform(0.0, 0.8, (nz, nx, ny)).astype(np.float32)
+        rng = np.random.default_rng(7)  # same fields for both runs
+        planck = np.full((nz + 1, nx, ny), 100.0 / np.pi, np.float32)
+        solver.set_optical_properties(0.15, ka, ks, gg, planck=planck)
+        solver.set_angles(sundir_from_angles(120.0, 35.0))
+        solver.solve(lthermal=True, lsolar=True, edirTOA=1364.0)
+        res[slab] = [np.asarray(a) for a in solver.get_result()]
+    for a, b in zip(res[0], res[3]):
+        np.testing.assert_allclose(a, b, atol=5e-4)
