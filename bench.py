@@ -164,6 +164,11 @@ def main():
     nlay = atm.nlay
     grid = Grid.create(nlay, NX, NY, 100.0, 100.0, atm.dz.astype(np.float32))
     solver = PprtsSolver(grid, opp)
+    # memory-lean overrides for large single-chip grids
+    if os.environ.get("BENCH_DIFF_SOLVER"):
+        solver.options.set("diff_solver", os.environ["BENCH_DIFF_SOLVER"])
+    if os.environ.get("BENCH_Z_SLAB"):
+        solver.options.set("pprts_assembly_z_slab", int(os.environ["BENCH_Z_SLAB"]))
     solver.set_angles(sundir_from_angles(120.0, 40.0))
     gas = EcckdGasOptics(n_gpt=NGPT)
 

@@ -1,9 +1,13 @@
 """Monte-Carlo photon tracing through a triangular wedge (prism).
 
 Parity: reference `src/boxmc_wedge_5_8.inc` (5 direct + 8 diffuse
-streams: top, 3 side faces split into down/up hemispheres, bottom) with
-the cube tracer's physics (`src/boxmc.F90`: Henyey-Greenstein
-scattering, implicit capture, roulette).
+streams: top, 3 side faces split into down/up hemispheres, bottom),
+`src/boxmc_wedge_5_5.inc` (5 + 5: one diffuse dof per face, full
+hemispheres) and `src/boxmc_wedge_18_8.inc` (18 + 8: direct streams
+resolved to face QUARTERS — top/bot split into 3 corner quads around
+the centroid, each side into 2x2 via edge midpoints) with the cube
+tracer's physics (`src/boxmc.F90`: Henyey-Greenstein scattering,
+implicit capture, roulette).
 
 Canonical prism: triangle A=(0,0), B=(dx,0), C=(dx,dy) extruded over
 z in [0, dz] — the lower-right triangle of a rectangle split along its
@@ -12,11 +16,19 @@ one rotated by 180 degrees, so its coefficients come from the same
 tables evaluated at phi+180 (see `plexrt.mesh`).
 
 Faces: 0 TOP (z=dz), 1 BOT (z=0), 2 side AB (y=0), 3 side BC (x=dx),
-4 side CA (the diagonal).  Diffuse dofs: [0 top, 2..7 = sides x
-(dn, up) interleaved per face, 7 bottom]:
+4 side CA (the diagonal).
+
+Diffuse dofs (5_8, also the diffuse side of 18_8):
   [0: top(up-out), 1: AB dn, 2: AB up, 3: BC dn, 4: BC up,
    5: CA dn, 6: CA up, 7: bot(dn-out)].
-Direct dofs = faces (0 top, 1..3 sides AB/BC/CA, 4 bottom-unused-src).
+Diffuse dofs (5_5): [0 top, 1 AB, 2 BC, 3 CA, 4 bot].
+Direct dofs (5_8 / 5_5) = faces (0 top, 1..3 sides AB/BC/CA, 4 bot).
+Direct dofs (18_8), our canonical sub-face order (the reference's own
+ordering is tied to ITS vertex naming; ours is self-consistent and
+tested): top corners [0=A, 1=B, 2=C]; per side face 4 quads ordered
+(z-top,u-low), (z-top,u-high), (z-bot,u-low), (z-bot,u-high) with u
+the A->B / B->C / A->C edge parameter: AB=3..6, BC=7..10, CA=11..14;
+bottom corners [15=A, 16=B, 17=C].
 """
 
 from __future__ import annotations
@@ -37,6 +49,10 @@ from tenstream_tpu.boxmc.tracer import (
 
 NDIR = 5
 NDIFF = 8
+
+# scheme -> (ndir, ndiff); parity: the reference's wedge geometry set
+# (`src/boxmc_wedge_{5_5,5_8,18_8}.inc`)
+WEDGE_SCHEMES = {"5_8": (5, 8), "5_5": (5, 5), "18_8": (18, 8)}
 
 
 def _side_normals(bx, by):
@@ -139,10 +155,93 @@ _DIFF_SRCS = (
     (1, 0),  # dof 7: enters through BOT going up
 )
 
+# 5_5: one dof per face, full hemisphere (boxmc_wedge_5_5.inc:139-233)
+_DIFF_SRCS_5_5 = ((0, 0), (2, 0), (3, 0), (4, 0), (1, 0))
+
+# 18_8 direct source -> (face, subface); subface semantics per face:
+# top/bot: corner id (0=A, 1=B, 2=C); sides: 0=(z-top,u-low),
+# 1=(z-top,u-high), 2=(z-bot,u-low), 3=(z-bot,u-high)
+_DIR_SRCS_18 = (
+    [(0, c) for c in range(3)]
+    + [(2, q) for q in range(4)]
+    + [(3, q) for q in range(4)]
+    + [(4, q) for q in range(4)]
+    + [(1, c) for c in range(3)]
+)
+
+
+def _sample_in_quad(key, quad, n):
+    """Uniform points in a planar 2-D quad (P0,P1,P2,P3) whose two
+    sub-triangles (P0,P1,P2) and (P0,P2,P3) have EQUAL area — true for
+    every corner quad of the midpoint/centroid subdivision."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    pick = jax.random.uniform(k1, (n,)) < 0.5
+    r1 = jax.random.uniform(k2, (n,))
+    r2 = jax.random.uniform(k3, (n,))
+    s = jnp.sqrt(r1)
+    p0, p1, p2, p3 = [jnp.asarray(p, jnp.float32) for p in quad]
+    pa = jnp.where(pick[:, None], p1, p2)
+    pb = jnp.where(pick[:, None], p2, p3)
+    pt = (1 - s)[:, None] * p0 + (s * (1 - r2))[:, None] * pa + (s * r2)[:, None] * pb
+    return pt[:, 0], pt[:, 1]
+
+
+def _corner_quads(bx, by):
+    """The three equal-area corner quads of triangle A,B,C."""
+    A = jnp.stack([jnp.zeros_like(bx), jnp.zeros_like(by)])
+    B = jnp.stack([bx, jnp.zeros_like(by)])
+    C = jnp.stack([bx, by])
+    G = (A + B + C) / 3.0
+    mAB, mBC, mAC = (A + B) / 2, (B + C) / 2, (A + C) / 2
+    return (
+        (A, mAB, G, mAC),  # corner A
+        (B, mBC, G, mAB),  # corner B
+        (C, mAC, G, mBC),  # corner C
+    )
+
+
+def _sample_on_wedge_subface(key, face, sub, bx, by, bz, n):
+    """Uniform positions on one 18_8 direct sub-face, nudged inside."""
+    eps = 1e-6
+    if face in (0, 1):
+        quad = _corner_quads(bx, by)[sub]
+        x, y = _sample_in_quad(key, quad, n)
+        z = jnp.full((n,), bz * (1 - eps) if face == 0 else bz * eps)
+        return x, y, z
+    k1, k2 = jax.random.split(key)
+    u0, u1 = (0.0, 0.5) if sub in (0, 2) else (0.5, 1.0)
+    z0, z1 = (0.5, 1.0) if sub in (0, 1) else (0.0, 0.5)
+    u = (u0 + (u1 - u0) * jax.random.uniform(k1, (n,)))
+    z = (z0 + (z1 - z0) * jax.random.uniform(k2, (n,))) * bz
+    if face == 2:  # AB: y=0, u along A->B
+        return u * bx, jnp.full((n,), by * eps * 0.5), z
+    if face == 3:  # BC: x=bx, u along B->C
+        return jnp.full((n,), bx * (1 - eps)), u * by, z
+    # CA diagonal, u along A->C: (u*bx, u*by) nudged toward B
+    nx, ny = by, -bx
+    L = jnp.sqrt(bx * bx + by * by)
+    return u * bx + eps * bx * nx / L, u * by + eps * by * ny / L, z
+
+
+def _classify_subface_18(face, px, py, pz, bx, by, bz):
+    """Exit position -> 18_8 direct dof (see module docstring order)."""
+    lamC = py / by
+    lamB = px / bx - lamC
+    lamA = 1.0 - px / bx
+    corner = jnp.argmax(jnp.stack([lamA, lamB, lamC]), axis=0).astype(jnp.int32)
+    # u along the side's edge parameter
+    u = jnp.where(face == 3, py / by, px / bx)
+    sub = (
+        jnp.where(pz >= bz / 2, 0, 2) + jnp.where(u >= 0.5, 1, 0)
+    ).astype(jnp.int32)
+    base = jnp.asarray([0, 15, 3, 7, 11], jnp.int32)[face]
+    off = jnp.where(face <= 1, corner, sub)
+    return base + off
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("src", "ldir", "n_photons", "max_iter"),
+    static_argnames=("src", "ldir", "n_photons", "max_iter", "scheme"),
 )
 def run_wedge_boxmc(
     key,
@@ -157,13 +256,16 @@ def run_wedge_boxmc(
     dy_over_dx: float = 1.0,
     n_photons: int = 10000,
     max_iter: int = 3000,
+    scheme: str = "5_8",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(T, S) transfer fractions for one wedge source.
 
     aspect = dz/dx; tauz = kext*dz; phi is the azimuth of the photon
     travel direction measured like the cube tracer (phi=0 -> +y,
     phi=90 -> +x; the canonical sun octant restriction does NOT apply —
-    the wedge LUT keeps the full circle)."""
+    the wedge LUT keeps the full circle).  scheme selects the stream
+    geometry: "5_8" (default), "5_5" or "18_8"."""
+    ndir, ndiff = WEDGE_SCHEMES[scheme]
     bx = jnp.asarray(1.0, jnp.float32)
     by = jnp.asarray(dy_over_dx, jnp.float32)
     bz = jnp.maximum(jnp.asarray(aspect, jnp.float32), 1e-6)
@@ -175,8 +277,14 @@ def run_wedge_boxmc(
 
     kpos, kdir, kloop = jax.random.split(key, 3)
     if ldir:
-        face = (0, 2, 3, 4, 1)[src]
-        px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
+        if scheme == "18_8":
+            face, subface = _DIR_SRCS_18[src]
+            px, py, pz = _sample_on_wedge_subface(
+                kpos, face, subface, bx, by, bz, n_photons
+            )
+        else:
+            face = (0, 2, 3, 4, 1)[src]
+            px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
         phi = jnp.deg2rad(jnp.asarray(phi_deg, jnp.float32))
         theta = jnp.deg2rad(jnp.asarray(theta_deg, jnp.float32))
         sx = jnp.sin(phi) * jnp.sin(theta)
@@ -186,7 +294,7 @@ def run_wedge_boxmc(
         dy = jnp.full((n_photons,), sy)
         dz = jnp.full((n_photons,), sz)
     else:
-        face, zsign = _DIFF_SRCS[src]
+        face, zsign = (_DIFF_SRCS_5_5 if scheme == "5_5" else _DIFF_SRCS)[src]
         px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
         dx, dy, dz = _sample_lambertian_wedge(kdir, face, zsign, bx, by, n_photons)
 
@@ -194,11 +302,15 @@ def run_wedge_boxmc(
     alive = jnp.ones((n_photons,), bool)
     scattered = jnp.zeros((n_photons,), bool)
 
-    # face -> diffuse dst (dn, up): top exit -> 0, bottom exit -> 7
-    diff_tbl = jnp.asarray([[0, 0], [7, 7], [1, 2], [3, 4], [5, 6]], jnp.int32)
+    if scheme == "5_5":
+        # one dof per face, no hemisphere split
+        diff_tbl = jnp.asarray([[0, 0], [4, 4], [1, 1], [2, 2], [3, 3]], jnp.int32)
+    else:
+        # face -> diffuse dst (dn, up): top exit -> 0, bottom exit -> 7
+        diff_tbl = jnp.asarray([[0, 0], [7, 7], [1, 2], [3, 4], [5, 6]], jnp.int32)
 
-    T0 = jnp.zeros((NDIR + 1,), jnp.float32)
-    S0 = jnp.zeros((NDIFF + 1,), jnp.float32)
+    T0 = jnp.zeros((ndir + 1,), jnp.float32)
+    S0 = jnp.zeros((ndiff + 1,), jnp.float32)
 
     def cond(state):
         i, _, st, T, S = state
@@ -222,17 +334,20 @@ def run_wedge_boxmc(
         up = dz > 0
         diff_dst = diff_tbl[face, up.astype(jnp.int32)]
         if ldir:
-            dir_dst = jnp.asarray([0, 4, 1, 2, 3], jnp.int32)[face]
+            if scheme == "18_8":
+                dir_dst = _classify_subface_18(face, px, py, pz, bx, by, bz)
+            else:
+                dir_dst = jnp.asarray([0, 4, 1, 2, 3], jnp.int32)[face]
             as_direct = exiting & (~scattered)
             as_diffuse = exiting & scattered
-            T = T.at[jnp.where(as_direct, dir_dst, NDIR)].add(
+            T = T.at[jnp.where(as_direct, dir_dst, ndir)].add(
                 jnp.where(as_direct, weights, 0.0)
             )
-            S = S.at[jnp.where(as_diffuse, diff_dst, NDIFF)].add(
+            S = S.at[jnp.where(as_diffuse, diff_dst, ndiff)].add(
                 jnp.where(as_diffuse, weights, 0.0)
             )
         else:
-            S = S.at[jnp.where(exiting, diff_dst, NDIFF)].add(
+            S = S.at[jnp.where(exiting, diff_dst, ndiff)].add(
                 jnp.where(exiting, weights, 0.0)
             )
 
@@ -258,9 +373,9 @@ def run_wedge_boxmc(
     _, _, st, T, S = jax.lax.while_loop(cond, body, (0, kloop, st0, T0, S0))
 
     leftover = jnp.sum(jnp.where(st[7], st[6], 0.0))
-    s_main = S[:NDIFF]
+    s_main = S[:ndiff]
     s_sum = jnp.sum(s_main)
     s_main = jnp.where(s_sum > 0, s_main * (1.0 + leftover / jnp.maximum(s_sum, 1e-30)), s_main)
 
     norm = 1.0 / float(n_photons)
-    return T[:NDIR] * norm, s_main * norm
+    return T[:ndir] * norm, s_main * norm
