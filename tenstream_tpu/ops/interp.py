@@ -85,6 +85,69 @@ def interp_multilinear_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> j
     return out
 
 
+def interp_simplex_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Simplex (Kuhn-triangulation) interpolation, channels-FIRST result.
+
+    Parity: reference `interp_vec_simplex_nd`
+    (`src/interpolation.F90:292`, after HPL-2002-320): linear
+    interpolation on the simplex of the hypercube that contains the
+    query, needing only k+1 gathers instead of 2^k — 5 vs 16 for the
+    4-D transfer tables, a ~3x cut in the assembly-phase gather
+    traffic.  Exact at grid points and on simplex facets; inside a cell
+    it differs from multilinear by O(grid-spacing^2) curvature terms.
+
+    Kuhn split: sort the fractional parts descending; the containing
+    simplex walks from the floor corner one +1 step per dimension in
+    sorted order, with telescoping weights (1-f(1), f(1)-f(2), ...,
+    f(k)).
+
+    Args/returns as `interp_multilinear_cf`.
+    """
+    k = len(fracs)
+    dims = table.shape[:k]
+    C = table.shape[k:]
+    flat_t = jnp.moveaxis(table.reshape((-1,) + C), 0, -1)  # (C..., N)
+
+    i0 = []
+    fr = []
+    for d, f in enumerate(fracs):
+        base = jnp.clip(jnp.floor(f), 0, dims[d] - 2).astype(jnp.int32)
+        i0.append(base)
+        fr.append(jnp.asarray(f, ireals) - base.astype(ireals))
+
+    strides = []
+    s = 1
+    for d in reversed(range(k)):
+        strides.insert(0, s)
+        s *= dims[d]
+
+    B = jnp.broadcast_shapes(*[jnp.shape(f) for f in fr])
+    F = jnp.stack([jnp.broadcast_to(f, B) for f in fr])  # (k,) + B
+    order = jnp.argsort(-F, axis=0)
+    Fs = jnp.take_along_axis(F, order, axis=0)  # descending
+    sorted_strides = jnp.asarray(strides, jnp.int32)[order]  # (k,) + B
+
+    base_idx = 0
+    for d in range(k):
+        base_idx = base_idx + i0[d] * strides[d]
+
+    cum = jnp.cumsum(sorted_strides, axis=0)
+    weights = (
+        [1.0 - Fs[0]]
+        + [Fs[j - 1] - Fs[j] for j in range(1, k)]
+        + [Fs[k - 1]]
+    )
+    idxs = [base_idx] + [base_idx + cum[j] for j in range(k)]
+
+    out = None
+    expand = (None,) * len(C) + (...,)
+    for w, idx in zip(weights, idxs):
+        vals = jnp.take(flat_t, idx, axis=-1)  # C... + B
+        contrib = vals * w[expand]
+        out = contrib if out is None else out + contrib
+    return out
+
+
 def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Multilinear interpolation of `table` at fractional indices.
 

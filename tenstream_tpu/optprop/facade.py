@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tenstream_tpu.core.types import ireals
-from tenstream_tpu.ops.interp import fractional_index, interp_multilinear_cf
+from tenstream_tpu.ops.interp import (
+    fractional_index,
+    interp_multilinear_cf,
+    interp_simplex_cf,
+)
 from tenstream_tpu.optprop.lut import LUT
 from tenstream_tpu.streams import StreamScheme, get_scheme
 
@@ -53,10 +57,20 @@ class OptProp:
         scheme: StreamScheme | None = None,
         table_dtype=jnp.float32,
         analytic_dir2dir: bool | None = None,
+        interp_mode: str = "multilinear",
     ):
         self.lut = lut
         self.scheme = scheme or get_scheme(lut.scheme)
         self._table_dtype = table_dtype
+        # "simplex" cuts the per-cell gathers from 16 to 5 (reference
+        # `interp_vec_simplex_nd`, src/interpolation.F90:292) at the
+        # cost of O(h^2) in-cell deviation from multilinear
+        if interp_mode not in ("multilinear", "simplex"):
+            raise ValueError(f"unknown interp_mode {interp_mode!r}")
+        self._interp = (
+            interp_simplex_cf if interp_mode == "simplex" else interp_multilinear_cf
+        )
+        self.interp_mode = interp_mode
         # exact closed-form dir2dir evaluated at the cell's ACTUAL
         # (tauz, aspect, phi, theta) — no table interpolation error and
         # no axis clipping on the direct-transport backbone (see
@@ -143,9 +157,9 @@ class OptProp:
             c_dd = jnp.moveaxis(c_dd, (-2, -1), (0, 1))
         else:
             t2d = self._slice_angles(self._dir2dir, phi_deg, theta_deg).astype(self._table_dtype)
-            c_dd = interp_multilinear_cf(t2d.reshape(t2d.shape[:4] + (ndir * ndir,)), fr)
+            c_dd = self._interp(t2d.reshape(t2d.shape[:4] + (ndir * ndir,)), fr)
             c_dd = c_dd.reshape((ndir, ndir) + c_dd.shape[1:])
-        c_df = interp_multilinear_cf(t2f.reshape(t2f.shape[:4] + (ndir * ndiff,)), fr)
+        c_df = self._interp(t2f.reshape(t2f.shape[:4] + (ndir * ndiff,)), fr)
         c_df = c_df.reshape((ndir, ndiff) + c_df.shape[1:])
         if switch_x or switch_y:
             q = _diff_dst_permutation(self.scheme, switch_x, switch_y)
@@ -159,7 +173,7 @@ class OptProp:
         fr = self._fracs(self._diff_grids, tauz, w0, aspect, g)
         nd = self.scheme.ndiff
         tbl = self._diff2diff.reshape(self._diff2diff.shape[:4] + (nd * nd,))
-        c = interp_multilinear_cf(tbl, fr)
+        c = self._interp(tbl, fr)
         return c.reshape((nd, nd) + c.shape[1:])
 
 

@@ -3,7 +3,12 @@
 import numpy as np
 from scipy.interpolate import RegularGridInterpolator
 
-from tenstream_tpu.ops.interp import fractional_index, interp_multilinear
+from tenstream_tpu.ops.interp import (
+    fractional_index,
+    interp_multilinear,
+    interp_multilinear_cf,
+    interp_simplex_cf,
+)
 
 
 def test_fractional_index():
@@ -29,3 +34,53 @@ def test_exact_at_grid_points(rng):
     fr = [fractional_index(grids[0], np.array([1.0], np.float32))] * 2
     out = np.asarray(interp_multilinear(table, fr))
     np.testing.assert_allclose(out[0], table[1, 1], atol=1e-6)
+
+
+def test_simplex_exact_at_grid_points(rng):
+    grids = [np.arange(n, dtype=np.float32) for n in (4, 3, 5, 3)]
+    table = rng.normal(size=(4, 3, 5, 3, 6)).astype(np.float32)
+    pts = np.array([[0, 0, 0, 0], [3, 2, 4, 2], [1, 2, 3, 1], [2, 0, 2, 2]], np.float32)
+    fr = [pts[:, d] for d in range(4)]
+    out = np.asarray(interp_simplex_cf(table, fr))  # (6, 4)
+    for q in range(pts.shape[0]):
+        i = tuple(int(v) for v in pts[q])
+        np.testing.assert_allclose(out[:, q], table[i], atol=1e-6)
+
+
+def test_simplex_exact_on_affine(rng):
+    # Simplex interpolation reproduces affine functions exactly inside
+    # every cell (each simplex vertex-weight set is barycentric).
+    dims = (5, 4, 6, 3)
+    coef = rng.normal(size=4).astype(np.float64)
+    idx = np.meshgrid(*[np.arange(n) for n in dims], indexing="ij")
+    tbl = sum(c * g for c, g in zip(coef, idx)) + 0.7
+    table = tbl[..., None].astype(np.float32)
+    q = np.stack([rng.uniform(0, n - 1, 200) for n in dims], -1).astype(np.float32)
+    fr = [q[:, d] for d in range(4)]
+    out = np.asarray(interp_simplex_cf(table, fr))[0]
+    expect = q.astype(np.float64) @ coef + 0.7
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_simplex_matches_multilinear_on_edges(rng):
+    # Along a cell edge only one frac is non-integer: both schemes are
+    # 1-D linear there.
+    table = rng.normal(size=(4, 3, 5, 2)).astype(np.float32)
+    base = np.array([1, 1, 2], np.float32)
+    for d in range(3):
+        q = np.tile(base, (7, 1))
+        q[:, d] = np.linspace(0.0, 0.95, 7) + base[d] - 1
+        fr = [q[:, j] for j in range(3)]
+        ml = np.asarray(interp_multilinear_cf(table, fr))
+        sx = np.asarray(interp_simplex_cf(table, fr))
+        np.testing.assert_allclose(sx, ml, atol=1e-5)
+
+
+def test_simplex_convex_weights(rng):
+    # Interpolated value of a table bounded in [0,1] stays in [0,1]:
+    # weights are a convex combination.
+    table = rng.uniform(0, 1, size=(5, 4, 6, 3, 8)).astype(np.float32)
+    q = np.stack([rng.uniform(0, n - 1, 300) for n in (5, 4, 6, 3)], -1).astype(np.float32)
+    fr = [q[:, d] for d in range(4)]
+    out = np.asarray(interp_simplex_cf(table, fr))
+    assert out.min() >= -1e-5 and out.max() <= 1.0 + 1e-5

@@ -88,3 +88,23 @@ def test_lut_save_load(tmp_path, tiny_lut):
     back = LUT.load(p)
     np.testing.assert_array_equal(back.dir2dir, tiny_lut.dir2dir)
     np.testing.assert_array_equal(back.diff2diff, tiny_lut.diff2diff)
+
+
+def test_facade_simplex_mode(tiny_lut):
+    # simplex mode: exact at LUT grid points (same gathers land on the
+    # grid vertex) and close to multilinear in between.
+    ml = OptProp(tiny_lut, interp_mode="multilinear")
+    sx = OptProp(tiny_lut, interp_mode="simplex")
+    # exact grid point
+    args = (np.float32(0.5), np.float32(0.9), np.float32(0.5), np.float32(1.0), 45.0, 40.0)
+    for a, b in zip(ml.dir_coeffs(*args), sx.dir_coeffs(*args)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    d_ml = ml.diff_coeffs(np.float32(0.5), np.float32(0.9), np.float32(1.0), np.float32(0.5))
+    d_sx = sx.diff_coeffs(np.float32(0.5), np.float32(0.9), np.float32(1.0), np.float32(0.5))
+    np.testing.assert_allclose(np.asarray(d_ml), np.asarray(d_sx), atol=1e-5)
+    # off-grid: O(cell curvature) agreement, and convex-combination bounds
+    args2 = (np.float32(0.9), np.float32(0.4), np.float32(0.2), np.float32(1.3), 20.0, 30.0)
+    c_dd, c_df = sx.dir_coeffs(*args2)
+    m_dd, m_df = ml.dir_coeffs(*args2)
+    assert np.asarray(c_dd).min() >= -1e-5 and np.asarray(c_dd).max() <= 1 + 1e-5
+    np.testing.assert_allclose(np.asarray(c_df), np.asarray(m_df), atol=0.1)
