@@ -158,7 +158,14 @@ def main():
     from tenstream_tpu.spectral.ecckd import EcckdGasOptics
 
     lut = load_bench_lut()
-    opp = OptProp(lut)
+    # large grids: simplex interpolation (5 gathers vs 16) + scan-looped
+    # corner accumulation bound the assembly temp memory (the 192^2 OOM)
+    big = NX * NY >= 128 * 128
+    interp_mode = os.environ.get("BENCH_INTERP") or ("simplex" if big else "multilinear")
+    lg = os.environ.get("BENCH_LOOP_GATHERS")
+    loop_gathers = bool(int(lg)) if lg else big
+    print(f"# interp_mode={interp_mode} loop_gathers={loop_gathers}", file=sys.stderr)
+    opp = OptProp(lut, interp_mode=interp_mode, loop_gathers=loop_gathers)
 
     atm, lwc = build_scene()
     nlay = atm.nlay

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from tenstream_tpu.core.types import ireals
@@ -36,7 +37,43 @@ def fractional_index(grid: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return i.astype(ireals) + frac
 
 
-def interp_multilinear_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def _accumulate_gathers(flat_t, idxs, weights, C, loop: bool):
+    """sum_j take(flat_t, idx_j) * w_j, channels-first.
+
+    loop=False: one unrolled expression — XLA fuses all corner gathers
+    into a single kernel (fastest when the temps fit).
+    loop=True: `lax.scan` over the corners so only ONE corner-gather
+    temp plus the accumulator are live at a time.  This is the
+    BASELINE-scale memory fix: at 192x192x127 with a 27-layer z-slab and
+    C=100 the unrolled form kept 16 x ~1 GB corner temps live under
+    remat (measured 24.8 GB, OOM on a 16 GB chip); the scan bounds the
+    assembly working set to ~2 temps regardless of corner count.
+    """
+    expand = (None,) * len(C) + (...,)
+    if not loop:
+        out = None
+        for w, idx in zip(weights, idxs):
+            contrib = jnp.take(flat_t, idx, axis=-1) * w[expand]
+            out = contrib if out is None else out + contrib
+        return out
+
+    B = jnp.broadcast_shapes(*[jnp.shape(w) for w in weights],
+                             *[jnp.shape(i) for i in idxs])
+    idxA = jnp.stack([jnp.broadcast_to(i, B) for i in idxs])
+    wA = jnp.stack([jnp.broadcast_to(w, B).astype(flat_t.dtype) for w in weights])
+
+    def body(acc, iw):
+        idx, w = iw
+        return acc + jnp.take(flat_t, idx, axis=-1) * w[expand], None
+
+    acc0 = jnp.zeros(C + B, flat_t.dtype)
+    out, _ = jax.lax.scan(body, acc0, (idxA, wA))
+    return out
+
+
+def interp_multilinear_cf(
+    table: jnp.ndarray, fracs: Sequence[jnp.ndarray], *, loop_gathers: bool = False
+) -> jnp.ndarray:
     """Multilinear interpolation, channels-FIRST result.
 
     Args:
@@ -70,7 +107,8 @@ def interp_multilinear_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> j
         strides.insert(0, s)
         s *= dims[d]
 
-    out = None
+    idxs = []
+    weights = []
     for corner in range(1 << k):
         idx = 0
         w = None
@@ -79,13 +117,14 @@ def interp_multilinear_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> j
             idx = idx + (i0[d] + hi) * strides[d]
             wd = w1[d] if hi else (1.0 - w1[d])
             w = wd if w is None else w * wd
-        vals = jnp.take(flat_t, idx, axis=-1)  # C... + B
-        contrib = vals * w[(None,) * len(C) + (...,)]
-        out = contrib if out is None else out + contrib
-    return out
+        idxs.append(idx)
+        weights.append(w)
+    return _accumulate_gathers(flat_t, idxs, weights, C, loop_gathers)
 
 
-def interp_simplex_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def interp_simplex_cf(
+    table: jnp.ndarray, fracs: Sequence[jnp.ndarray], *, loop_gathers: bool = False
+) -> jnp.ndarray:
     """Simplex (Kuhn-triangulation) interpolation, channels-FIRST result.
 
     Parity: reference `interp_vec_simplex_nd`
@@ -138,14 +177,7 @@ def interp_simplex_cf(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.n
         + [Fs[k - 1]]
     )
     idxs = [base_idx] + [base_idx + cum[j] for j in range(k)]
-
-    out = None
-    expand = (None,) * len(C) + (...,)
-    for w, idx in zip(weights, idxs):
-        vals = jnp.take(flat_t, idx, axis=-1)  # C... + B
-        contrib = vals * w[expand]
-        out = contrib if out is None else out + contrib
-    return out
+    return _accumulate_gathers(flat_t, idxs, weights, C, loop_gathers)
 
 
 def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:

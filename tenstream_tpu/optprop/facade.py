@@ -14,6 +14,7 @@ and then a single batched 4-D multilinear gather produces the
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -58,19 +59,22 @@ class OptProp:
         table_dtype=jnp.float32,
         analytic_dir2dir: bool | None = None,
         interp_mode: str = "multilinear",
+        loop_gathers: bool = False,
     ):
         self.lut = lut
         self.scheme = scheme or get_scheme(lut.scheme)
         self._table_dtype = table_dtype
         # "simplex" cuts the per-cell gathers from 16 to 5 (reference
         # `interp_vec_simplex_nd`, src/interpolation.F90:292) at the
-        # cost of O(h^2) in-cell deviation from multilinear
+        # cost of O(h^2) in-cell deviation from multilinear.
+        # loop_gathers accumulates the corner gathers with a lax.scan so
+        # only one corner temp is live — the large-grid memory knob.
         if interp_mode not in ("multilinear", "simplex"):
             raise ValueError(f"unknown interp_mode {interp_mode!r}")
-        self._interp = (
-            interp_simplex_cf if interp_mode == "simplex" else interp_multilinear_cf
-        )
+        base = interp_simplex_cf if interp_mode == "simplex" else interp_multilinear_cf
+        self._interp = partial(base, loop_gathers=loop_gathers)
         self.interp_mode = interp_mode
+        self.loop_gathers = loop_gathers
         # exact closed-form dir2dir evaluated at the cell's ACTUAL
         # (tauz, aspect, phi, theta) — no table interpolation error and
         # no axis clipping on the direct-transport backbone (see

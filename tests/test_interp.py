@@ -84,3 +84,13 @@ def test_simplex_convex_weights(rng):
     fr = [q[:, d] for d in range(4)]
     out = np.asarray(interp_simplex_cf(table, fr))
     assert out.min() >= -1e-5 and out.max() <= 1.0 + 1e-5
+
+
+def test_loop_gathers_matches_unrolled(rng):
+    table = rng.normal(size=(5, 4, 6, 3, 7)).astype(np.float32)
+    q = np.stack([rng.uniform(0, n - 1, 40) for n in (5, 4, 6, 3)], -1).astype(np.float32)
+    fr = [q[:, d] for d in range(4)]
+    for fn in (interp_multilinear_cf, interp_simplex_cf):
+        a = np.asarray(fn(table, fr))
+        b = np.asarray(fn(table, fr, loop_gathers=True))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the jnp tracer (pallas service down)")
+    ap.add_argument("--max-rounds", type=int, default=None,
+                    help="production preset: cap adaptive rounds per entry. "
+                    "Staged generation (breadth-first): run once with a low "
+                    "cap to get a COMPLETE table quickly, then re-run with "
+                    "a higher cap — checkpoints make every pass incremental.")
+    ap.add_argument("--dir-max-rounds", type=int, default=None,
+                    help="production preset: cap for the dir2diff sources")
     args = ap.parse_args()
 
     from tenstream_tpu.optprop.lut import (
@@ -59,12 +66,18 @@ def main():
         base = args.out or lut_basename()
         out_path = os.path.join(base, f"LUT_{args.scheme}_production.npz")
         t0 = time.time()
+        kw = {}
+        if args.max_rounds is not None:
+            kw["max_rounds"] = args.max_rounds
+        if args.dir_max_rounds is not None:
+            kw["dir_max_rounds"] = args.dir_max_rounds
         lut, meta = create_production_lut(
             args.scheme,
             production_axes(True),
             production_axes(False),
             checkpoint_dir=os.path.join(base, f"ckpt_{args.scheme}_production"),
             use_pallas=False if args.no_pallas else None,
+            **kw,
         )
         lut.save(out_path, meta=meta)
         print(f"done in {time.time()-t0:.1f}s -> {out_path}")
