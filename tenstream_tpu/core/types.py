@@ -9,15 +9,30 @@ and allow float64 on CPU for verification (enable via
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
-# Solver state dtype ("ireals"). float32 everywhere; x64 runs promote naturally.
-ireals = jnp.float32
-# LUT / transfer-coefficient dtype ("irealLUT").
-irealLUT = jnp.float32
-# Monte-Carlo tally dtype — tallies accumulate over many photons.
-irealMC = jnp.float32
+# Precision selection (reference CI builds both single- and double-
+# precision kinds to flush mixed-kind bugs, `.gitlab-ci.yml:104-120`).
+# TENSTREAM_TPU_PRECISION=double switches every "ireals" array to f64
+# (CPU verification builds); must be set before first import.
+_PRECISION = os.environ.get("TENSTREAM_TPU_PRECISION", "single").lower()
+if _PRECISION in ("double", "float64", "f64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    ireals = jnp.float64
+    irealLUT = jnp.float64
+    irealMC = jnp.float64
+else:
+    # Solver state dtype ("ireals"). float32 everywhere; x64 runs promote naturally.
+    ireals = jnp.float32
+    # LUT / transfer-coefficient dtype ("irealLUT").
+    irealLUT = jnp.float32
+    # Monte-Carlo tally dtype — tallies accumulate over many photons.
+    irealMC = jnp.float32
 
 PI = float(np.pi)
 

@@ -68,6 +68,23 @@ class Solution(NamedTuple):
     thermal: Optional["Solution"] = None
 
 
+def _validate_optprops(kabs, ksca, g, planck) -> None:
+    """Host-side input sanity (reference `src/pprts.F90:1831-1859`)."""
+    fields = {"kabs": kabs, "ksca": ksca, "g": g}
+    if planck is not None:
+        fields["planck"] = planck
+    for name, x in fields.items():
+        if isinstance(x, jax.core.Tracer):
+            return  # inside jit: concrete checks impossible
+        a = np.asarray(x)
+        if not np.isfinite(a).all():
+            raise ValueError(f"non-finite values in {name}")
+        if name != "g" and a.min() < 0.0:
+            raise ValueError(f"negative values in {name} (min {a.min():.3e})")
+        if name == "g" and (a.min() < -1.0 or a.max() > 1.0):
+            raise ValueError(f"asymmetry parameter g outside [-1,1]")
+
+
 class PprtsSolver:
     """Solver driver.
 
@@ -96,6 +113,12 @@ class PprtsSolver:
             if self.solver_type not in ("2str", "disort", "schwarzschild"):
                 raise ValueError(f"solver_type {self.solver_type!r} needs an OptProp/LUT")
         self.options = options or Options()
+        # reference DEBUG builds trap NaNs/bounds (`CLAUDE.md:34`); the
+        # jax equivalent is the global debug_nans switch
+        if self.options.get_bool("debug_nans", False):
+            import jax as _jax
+
+            _jax.config.update("jax_debug_nans", True)
         self.sun: Optional[SunInfo] = None
         self.solutions: Dict[int, Solution] = {}
         self._atm: Dict[str, Any] = {}
@@ -150,6 +173,12 @@ class PprtsSolver:
         kabs = jnp.asarray(kabs, ireals)
         ksca = jnp.asarray(ksca, ireals)
         g = jnp.asarray(g, ireals)
+        if self.options.get_bool("pprts_validate", True):
+            # reference ldebug input checks (`src/pprts.F90:1831-1859`):
+            # negative/NaN optical properties abort before they can
+            # poison a whole spectral integration.  Skipped for traced
+            # (in-jit) inputs — concrete host inputs are the API norm.
+            _validate_optprops(kabs, ksca, g, planck)
         if self.options.get_bool("pprts_delta_scale", ldelta_scaling):
             kabs, ksca, g = delta_scale(kabs, ksca, g)
         a2d = jnp.full((self.grid.nx, self.grid.ny), albedo, ireals)

@@ -348,8 +348,8 @@ def specint_pprts(
                     solver._spectral_skips = getattr(solver, "_spectral_skips", 0) + 1
                     continue
             x0 = (
-                prev.ediff
-                if prev is not None
+                prev.ediff.astype(ireals)
+                if prev is not None and prev.ediff is not None
                 else jnp.zeros((nb, scheme.ndiff, nz + 1, nx, ny), ireals)
             )
             om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
@@ -377,7 +377,24 @@ def specint_pprts(
             )
             from tenstream_tpu.pprts.solver import Solution
 
-            solver.solutions[cache_key] = Solution(edir_b, ediff_b, abso_b, om_b, niter_b, res_b)
+            # Warm-start cache: only ediff (the x0 initial guess) and
+            # omega are consumed on re-solve, and idle solutions are
+            # kept bf16-compressed (reference `compress_solution`,
+            # `src/pprts_base.F90:137-169,425`).  Full-precision f32
+            # caching of every chunk's per-band states measured 11.5 GB
+            # at 192^2x127 (32+32 gpt) and OOMed the chip during the
+            # thermal trace.  "f32" restores exact warm starts; "off"
+            # disables caching (cold solves every call).
+            cache_mode = solver.options.get("specint_cache", "bf16")
+            if cache_mode == "off":
+                x_keep = None
+            elif cache_mode == "bf16":
+                x_keep = ediff_b.astype(jnp.bfloat16)
+            else:
+                x_keep = ediff_b
+            solver.solutions[cache_key] = Solution(
+                None, x_keep, None, om_b, niter_b, res_b
+            )
 
             # accumulate in W, convert at the end
             edir_contrib = None if edir_b is None else edir_b.sum(0)
@@ -398,7 +415,12 @@ def specint_pprts(
                 old = solver._spectral_cache.get(cache_key)
                 err = abso_change_maxnorm(abso_contrib, old[2]) if old is not None else 0.0
                 tracker.record(time, err)
-                solver._spectral_cache[cache_key] = (edir_contrib, ediff_contrib, abso_contrib)
+                # host-side storage: the adaptive skip cache would
+                # otherwise pin ~3 full flux fields per chunk in HBM
+                solver._spectral_cache[cache_key] = tuple(
+                    None if c is None else np.asarray(c)
+                    for c in (edir_contrib, ediff_contrib, abso_contrib)
+                )
 
     ediff_acc_solar = jnp.zeros((scheme.ndiff, nz + 1, nx, ny), ireals)
     ediff_acc_thermal = jnp.zeros_like(ediff_acc_solar)

@@ -5,14 +5,18 @@ flow as `specint_pprts` but driving the triangle-mesh solver: per
 g-point, broadcast the background-column gas optics onto the wedge
 grid, merge 3-D clouds, solve, and accumulate weighted fluxes.
 
-v1 runs the g-point loop sequentially (the wedge solver is not yet
-band-batched); fine for the example/test scales.
+The g-point axis is band-BATCHED like `specint_pprts`: the wedge
+solver's solve() is a pure function of the optical-property fields, so
+chunks of `band_chunk` g-points run as one `jax.vmap`-ed solve (one
+compiled graph, MXU-batched coefficient blocks) instead of a sequential
+per-gpt loop.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +43,7 @@ def specint_plexrt(
     lwc=None,  # (nlay, 2, nx, ny) [g/m3]
     reliq=None,
     max_gpt: Optional[int] = None,
+    band_chunk: int = 8,
 ) -> PlexSpectralResult:
     backend = _BACKENDS[specint]() if isinstance(specint, str) else specint
     g = solver.grid
@@ -82,29 +87,49 @@ def specint_plexrt(
     def run(sp, solar):
         nonlocal edir_acc, edn, eup, abso
         ngpt = sp.tau.shape[0] if max_gpt is None else min(max_gpt, sp.tau.shape[0])
-        mu = None
-        if solar:
-            s = solver._sundir
-            mu = float(max(-s[2] / np.linalg.norm(s), 1e-6))
-        for igpt in range(ngpt):
-            kabs, ksca, gg = fields_for(sp, igpt, "sw" if solar else "lw")
-            planck = None
-            if not solar and sp.planck is not None:
-                planck = jnp.asarray(sp.planck[igpt], ireals)[:, None, None, None] * jnp.ones(
-                    (nz + 1, 2, nx, ny), ireals
-                )
-            solver.set_optical_properties(albedo, kabs, ksca, gg, planck=planck)
+        has_planck = (not solar) and sp.planck is not None
+
+        def one_gpt(kabs, ksca, gg, planck, toa):
+            # solve() is pure in the optprop fields, so mutating the
+            # solver inside the traced function is safe — the stored
+            # tracers are consumed within this same trace
+            solver.set_optical_properties(
+                albedo, kabs, ksca, gg, planck=planck if has_planck else None
+            )
             # weight is the per-gpt beam irradiance; the solver applies
             # the E0*mu_top TOA projection itself (plexrt parity)
-            sol = solver.solve(
-                lthermal=not solar, lsolar=solar,
-                edirTOA=float(sp.weight[igpt]) if solar else 0.0,
+            sol = solver.solve(lthermal=not solar, lsolar=solar, edirTOA=toa)
+            e = sol.edir if sol.edir is not None else jnp.zeros(
+                (nz + 1, 2, nx, ny), ireals)
+            return e, sol.edn, sol.eup, sol.abso
+
+        vfn = jax.jit(jax.vmap(one_gpt))
+        zplanck = jnp.zeros((nz + 1, 2, nx, ny), ireals)
+        for lo in range(0, ngpt, band_chunk):
+            hi = min(lo + band_chunk, ngpt)
+            kabs_b, ksca_b, g_b = (
+                jnp.stack(x) for x in zip(*[
+                    fields_for(sp, i, "sw" if solar else "lw")
+                    for i in range(lo, hi)
+                ])
             )
+            if has_planck:
+                planck_b = (
+                    jnp.asarray(sp.planck[lo:hi], ireals)[:, :, None, None, None]
+                    * jnp.ones((nz + 1, 2, nx, ny), ireals)
+                )
+            else:
+                planck_b = jnp.broadcast_to(zplanck, (hi - lo,) + zplanck.shape)
+            toa_b = (
+                jnp.asarray(sp.weight[lo:hi], ireals)
+                if solar else jnp.zeros((hi - lo,), ireals)
+            )
+            e_b, edn_b, eup_b, abso_b = vfn(kabs_b, ksca_b, g_b, planck_b, toa_b)
             if solar:
-                edir_acc = sol.edir if edir_acc is None else edir_acc + sol.edir
-            edn = edn + sol.edn
-            eup = eup + sol.eup
-            abso = abso + sol.abso
+                edir_acc = e_b.sum(0) if edir_acc is None else edir_acc + e_b.sum(0)
+            edn = edn + edn_b.sum(0)
+            eup = eup + eup_b.sum(0)
+            abso = abso + abso_b.sum(0)
 
     if lsolar and solver._sundir is not None:
         run(backend.solar(atm), True)
