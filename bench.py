@@ -176,10 +176,11 @@ def main():
         solver.options.set("diff_solver", os.environ["BENCH_DIFF_SOLVER"])
     if os.environ.get("BENCH_Z_SLAB"):
         solver.options.set("pprts_assembly_z_slab", int(os.environ["BENCH_Z_SLAB"]))
-    # at >=128^2 the bf16 warm-start flux cache alone is ~6 GB (64
-    # chunks x 90 MB) and starves the solve; keep only the omega warm
-    # starts + iteration diagnostics there
-    cache_mode = os.environ.get("BENCH_SPECINT_CACHE") or ("off" if big else "bf16")
+    # warm-start cache policy: "auto" keeps exact f32 warm starts while
+    # the cache is small (bf16 quantization re-burns iterations on every
+    # re-solve: 651 vs 1435 cols/s here), degrades to bf16/off at large
+    # grids where the cache would starve the solve
+    cache_mode = os.environ.get("BENCH_SPECINT_CACHE") or "auto"
     solver.options.set("specint_cache", cache_mode)
     print(f"# specint_cache={cache_mode}", file=sys.stderr)
     solver.set_angles(sundir_from_angles(120.0, 40.0))

@@ -380,15 +380,29 @@ def _trace_entries(
 
     fn_capped = jax.jit(jax.vmap(one_capped))
 
+    # Shape discipline: adaptive rounds shrink the active set every
+    # round, and each distinct chunk shape is a fresh jit compile (~19
+    # min through the remote compile service on this TPU).  Pad the
+    # trailing partial chunk: to the full chunk size on accelerators
+    # (one shape, ever), to the next power of two on CPU (compiles are
+    # cheap there and small active sets shouldn't trace 4096 rows).
+    pad_full = jax.default_backend() != "cpu"
     Ts, Ss = [], []
     for lo in range(0, n, chunk):
         part_np = ordered[lo : lo + chunk]
+        nvalid = part_np.shape[0]
+        if nvalid < chunk:
+            target = chunk if pad_full else max(64, 1 << (nvalid - 1).bit_length())
+            if target > nvalid:
+                part_np = np.concatenate(
+                    [part_np, np.repeat(part_np[-1:], target - nvalid, axis=0)], axis=0
+                )
         part = jnp.asarray(part_np)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(lo, lo + part.shape[0]))
         thick = float(np.median(part_np[:, 0] * part_np[:, 1])) > 10.0
         T, S = (fn_capped if thick else fn)(part, keys)
-        Ts.append(np.asarray(T))
-        Ss.append(np.asarray(S))
+        Ts.append(np.asarray(T)[:nvalid])
+        Ss.append(np.asarray(S)[:nvalid])
     T = np.concatenate(Ts, 0)
     S = np.concatenate(Ss, 0)
     inv = np.empty_like(order)
@@ -733,6 +747,21 @@ def create_production_lut(
     dir2dir, dir2diff, diff2diff = symmetrize_tables(
         scheme, dir2dir, dir2diff, diff2diff, np.asarray(dir_axes.phi)
     )
+    # Physical conservation clamp: dir2dir is EXACT (closed form) while
+    # dir2diff is MC — the MC run's own (noisy) direct transmission can
+    # undershoot the exact one, leaving S-row sums that overshoot the
+    # remaining 1 - T budget by MC noise.  Scale each S row down into its
+    # exact budget (never up); this removes the only way the table can
+    # create energy, so the gate below checks real defects, not noise.
+    t_sum = dir2dir.sum(-1)
+    s_sum = dir2diff.sum(-1)
+    budget = np.maximum(1.0 - t_sum, 0.0)
+    scale = np.where(s_sum > budget, budget / np.maximum(s_sum, 1e-30), 1.0)
+    nclamped = int((scale < 1.0).sum())
+    if nclamped:
+        meta["dir2diff_rows_clamped"] = nclamped
+        meta["dir2diff_clamp_min_scale"] = float(scale.min())
+    dir2diff = dir2diff * scale[..., None]
     # energy-conservation gate (reference `src/optprop_LUT.F90:1489-1504`)
     viol = (dir2dir.sum(-1) + dir2diff.sum(-1) - 1.0).max()
     violf = (diff2diff.sum(-1) - 1.0).max()

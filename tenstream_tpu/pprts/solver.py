@@ -411,6 +411,24 @@ class PprtsSolver:
                 jnp.asarray(edirTOA, ireals), x0, omega0,
             )
         sol = Solution(edir, ediff, abso, omega, niter, res)
+
+        # Reference `-accept_incomplete_solve` (`src/pprts_explicit.F90:
+        # 134-136`): by default it ABORTS when the iteration hits max_it
+        # without converging.  Here acceptance is the default (the strict
+        # check forces a device sync per solve, which would serialize the
+        # async band pipeline); set accept_incomplete_solve=False for the
+        # reference's strict behavior.  bench.py independently fails on
+        # any maxiter hit, so the regression class stays loud.
+        if not self.options.get_bool("accept_incomplete_solve", True):
+            max_it = self.options.get_int("ksp_max_it", 3000)
+            niter_h = int(np.max(np.asarray(niter)))
+            if niter_h >= max_it:
+                raise RuntimeError(
+                    f"diffuse solve hit max_it={max_it} without converging "
+                    f"(uid={uid!r}, final residual {float(np.max(np.asarray(res))):.3e}); "
+                    f"set accept_incomplete_solve=True to tolerate"
+                )
+
         self.solutions[uid] = self._maybe_compress(sol)
         return sol
 

@@ -383,9 +383,17 @@ def specint_pprts(
             # `src/pprts_base.F90:137-169,425`).  Full-precision f32
             # caching of every chunk's per-band states measured 11.5 GB
             # at 192^2x127 (32+32 gpt) and OOMed the chip during the
-            # thermal trace.  "f32" restores exact warm starts; "off"
-            # disables caching (cold solves every call).
-            cache_mode = solver.options.get("specint_cache", "bf16")
+            # thermal trace.  "f32" restores EXACT warm starts (re-solves
+            # of an unchanged band converge in 0 iterations; bf16
+            # quantization of near-converged states measurably re-burns
+            # iterations every re-solve: 651 vs 1435 cols/s on the 64^2
+            # bench).  "auto" (default) picks f32 while the whole-run
+            # cache stays small, degrades to bf16 and then off.
+            cache_mode = solver.options.get("specint_cache", "auto")
+            if cache_mode == "auto":
+                f32_bytes_total = 2 * ngpt * scheme.ndiff * (nz + 1) * nx * ny * 4
+                cache_mode = ("f32" if f32_bytes_total < 1.5e9
+                              else "bf16" if f32_bytes_total < 4e9 else "off")
             if cache_mode == "off":
                 x_keep = None
             elif cache_mode == "bf16":

@@ -41,6 +41,54 @@ def load_scene(path: str) -> Dict[str, np.ndarray]:
     return {k: z[k] for k in z.files if k != "__format__"}
 
 
+def dump_specint_input(path: str, atm, sundir=None, **kw) -> None:
+    """Dump a full specint input set (atmosphere + solve parameters) as a
+    replayable archive.
+
+    Parity: the reference specint drivers can dump every solver input to
+    netCDF and re-solve from the dump (`specint/specint_pprts.F90:213+`,
+    `dump_input`/`load_input_dump`; example
+    `ex_pprts_specint_lw_sw_from_dump.F90`).  Atmosphere fields get an
+    `atm_` prefix, gas vmrs `gas_`; everything else passes through
+    verbatim (albedo, edirTOA, lwc overrides, dx/dy, ...).
+    """
+    fields = dict(
+        atm_plev=atm.plev, atm_tlev=atm.tlev, atm_zlev=atm.zlev,
+        atm_lwc=atm.lwc, atm_reliq=atm.reliq, atm_iwc=atm.iwc,
+        atm_reice=atm.reice, atm_cfrac=atm.cfrac,
+        atm_skin_temperature=atm.skin_temperature,
+    )
+    for name, vmr in atm.gases.items():
+        fields[f"gas_{name}"] = vmr
+    if sundir is not None:
+        fields["sundir"] = np.asarray(sundir)
+    fields.update(kw)
+    dump_scene(path, **fields)
+
+
+def load_specint_input(path: str):
+    """Load a `dump_specint_input` archive.
+
+    Returns (atm: Atmosphere, params: dict) where params holds every
+    non-atmosphere entry (sundir, albedo, ...)."""
+    from tenstream_tpu.atm import Atmosphere
+
+    data = load_scene(path)
+    gases = {k[4:]: v for k, v in data.items() if k.startswith("gas_")}
+    opt = lambda k: data.get(f"atm_{k}")
+    atm = Atmosphere(
+        plev=data["atm_plev"], tlev=data["atm_tlev"], zlev=data["atm_zlev"],
+        gases=gases, lwc=opt("lwc"), reliq=opt("reliq"), iwc=opt("iwc"),
+        reice=opt("reice"), cfrac=opt("cfrac"),
+        skin_temperature=opt("skin_temperature"),
+    )
+    params = {
+        k: v for k, v in data.items()
+        if not (k.startswith("atm_") or k.startswith("gas_"))
+    }
+    return atm, params
+
+
 _NC_DTYPES = {
     np.dtype(np.float64): np.float64,
     np.dtype(np.float32): np.float32,

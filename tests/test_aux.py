@@ -83,3 +83,46 @@ def test_slope_correction():
     gx = np.ones((4, 4), np.float32)
     tilted = np.asarray(slope_correction_srfc_edir(edir, gx, np.zeros((4, 4)), sundir))
     np.testing.assert_allclose(tilted, 100.0 / np.sqrt(2.0), rtol=1e-5)
+
+
+def test_accept_incomplete_solve_strict_raises(tmp_path):
+    """Reference `-accept_incomplete_solve` analogue: strict mode aborts
+    when the diffuse iteration hits max_it unconverged
+    (`src/pprts_explicit.F90:134-136`); the (documented-deviation)
+    default tolerates it."""
+    import os
+
+    import pytest
+
+    from tenstream_tpu.optprop.facade import OptProp
+    from tenstream_tpu.optprop.lut import load_or_create_lut, mockup_axes
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+
+    lut = load_or_create_lut(
+        "3_10", mockup_axes(True), mockup_axes(False), n_photons=2000,
+        basename=os.path.join(os.path.dirname(__file__), "data", "luts"),
+    )
+    opp = OptProp(lut)
+    nz, nx, ny = 6, 8, 8
+    grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+
+    def make():
+        s = PprtsSolver(grid, opp)
+        ka = np.full((nz, nx, ny), 1e-4, np.float32)
+        ks = np.full((nz, nx, ny), 5e-2, np.float32)  # scattering: needs iterations
+        g = np.full((nz, nx, ny), 0.6, np.float32)
+        s.set_optical_properties(0.3, ka, ks, g)
+        s.set_angles(sundir_from_angles(0.0, 30.0))
+        return s
+
+    strict = make()
+    strict.options.set("ksp_max_it", 1)
+    strict.options.set("accept_incomplete_solve", False)
+    with pytest.raises(RuntimeError, match="max_it"):
+        strict.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+
+    tolerant = make()
+    tolerant.options.set("ksp_max_it", 1)
+    tolerant.solve(lthermal=False, lsolar=True, edirTOA=1000.0)  # no raise
