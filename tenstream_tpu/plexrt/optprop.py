@@ -29,7 +29,33 @@ from tenstream_tpu.ops.interp import fractional_index, interp_multilinear
 from tenstream_tpu.plexrt.wedge_boxmc import NDIFF, NDIR, run_wedge_boxmc
 
 _CACHE_VERSION = 2  # v2: downwind-source sanitization baked into tables
-N_DIR_SRC = 4  # top, AB, BC, CA (no bottom source for a downward sun)
+N_DIR_SRC = 4  # 5_8: top, AB, BC, CA (no bottom source for a downward sun)
+
+# Per-scheme direct-source lists (indices into the tracer's direct dof
+# order; bottom dofs are never sources for a downward sun) and the
+# set of same-face dst dofs per source (no straight-line direct photon
+# re-exits its own entry face; zeroed during sanitization).
+# 18_8 dof order (`plexrt/wedge_boxmc.py` docstring): top corners 0..2,
+# side quads 3..14 (4 per side), bottom corners 15..17.
+_SCHEME_DIR = {
+    "5_8": {
+        "ndir": 5,
+        "srcs": list(range(4)),  # top, AB, BC, CA
+        "src_face": [0, 2, 3, 4],  # tracer face ids (0 top, 2..4 sides)
+        "face_dsts": {0: [0], 2: [1], 3: [2], 4: [3]},
+    },
+    "18_8": {
+        "ndir": 18,
+        "srcs": list(range(15)),  # 3 top corners + 12 side quads
+        "src_face": [0, 0, 0] + [2] * 4 + [3] * 4 + [4] * 4,
+        "face_dsts": {0: [0, 1, 2], 2: [3, 4, 5, 6], 3: [7, 8, 9, 10],
+                      4: [11, 12, 13, 14]},
+    },
+}
+
+
+def n_dir_src(scheme: str = "5_8") -> int:
+    return len(_SCHEME_DIR[scheme]["srcs"])
 
 
 @dataclass(frozen=True)
@@ -53,9 +79,10 @@ class WedgeAxes:
 class WedgeLUT(NamedTuple):
     daxes: WedgeAxes
     faxes: WedgeAxes
-    dir2dir: np.ndarray  # (nt,nw,na,ng,nphi,nth, N_DIR_SRC, NDIR)
-    dir2diff: np.ndarray  # (..., N_DIR_SRC, NDIFF)
+    dir2dir: np.ndarray  # (nt,nw,na,ng,nphi,nth, n_dir_src, ndir)
+    dir2diff: np.ndarray  # (..., n_dir_src, NDIFF)
     diff2diff: np.ndarray  # (nt,nw,na,ng, NDIFF, NDIFF)
+    scheme: str = "5_8"
 
 
 def test_axes() -> WedgeAxes:
@@ -72,7 +99,8 @@ def test_axes() -> WedgeAxes:
     )
 
 
-def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int):
+def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int,
+                scheme: str = "5_8"):
     """Vectorized tracing over the whole entry grid (vmapped)."""
     grids = [axes.tau, axes.w0, axes.aspect, axes.g]
     if ldir:
@@ -84,25 +112,28 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
         jnp.arange(n)
     )
 
+    ndir = _SCHEME_DIR[scheme]["ndir"]
     if ldir:
         fn = jax.vmap(
             lambda k, t, w, a, gg, ph, th: run_wedge_boxmc(
-                k, src, True, t, w, gg, a, ph, th, n_photons=n_photons
+                k, src, True, t, w, gg, a, ph, th, n_photons=n_photons,
+                scheme=scheme,
             )
         )
         T, S = fn(keys, flat[0], flat[1], flat[2], flat[3], flat[4], flat[5])
     else:
         fn = jax.vmap(
             lambda k, t, w, a, gg: run_wedge_boxmc(
-                k, src, False, t, w, gg, a, n_photons=n_photons
+                k, src, False, t, w, gg, a, n_photons=n_photons, scheme=scheme,
             )
         )
         T, S = fn(keys, flat[0], flat[1], flat[2], flat[3])
     shp = tuple(len(g) for g in grids)
-    return np.asarray(T).reshape(shp + (NDIR,)), np.asarray(S).reshape(shp + (NDIFF,))
+    return np.asarray(T).reshape(shp + (ndir,)), np.asarray(S).reshape(shp + (NDIFF,))
 
 
-def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray) -> None:
+def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray,
+                         scheme: str = "5_8") -> None:
     """Make downwind source rows interpolation-safe (in place).
 
     A side face is a valid direct inflow only when the sun direction has
@@ -123,12 +154,16 @@ def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray) -> 
         [np.sin(PH) * np.sin(TH), np.cos(PH) * np.sin(TH), -np.cos(TH)], axis=-1
     )  # (nphi, nth, 3)
     r2 = 1.0 / np.sqrt(2.0)
-    normals = [(0.0, 0.0, -1.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (r2, -r2, 0.0)]
-    self_dst = [0, 1, 2, 3]  # face of the src in the dir dst numbering
+    # inward face normals by tracer face id (0 top, 2 AB, 3 BC, 4 CA)
+    face_normal = {0: (0.0, 0.0, -1.0), 2: (0.0, 1.0, 0.0),
+                   3: (-1.0, 0.0, 0.0), 4: (r2, -r2, 0.0)}
+    cfg = _SCHEME_DIR[scheme]
 
     nphi, nth = len(phis), len(thetas)
-    for s, n in enumerate(normals):
-        d2d[..., s, self_dst[s]] = 0.0
+    for s, face in enumerate(cfg["src_face"]):
+        n = face_normal[face]
+        # no straight-line direct photon re-exits its own entry face
+        d2d[..., s, cfg["face_dsts"][face]] = 0.0
         valid = d @ np.asarray(n) > 1e-6  # (nphi, nth)
         for it in range(nth):
             v = valid[:, it]
@@ -153,28 +188,30 @@ def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray) -> 
 
 def create_wedge_lut(
     daxes: WedgeAxes, faxes: WedgeAxes, n_photons: int = 5000,
-    seed: int = 0, verbose: bool = False,
+    seed: int = 0, verbose: bool = False, scheme: str = "5_8",
 ) -> WedgeLUT:
+    cfg = _SCHEME_DIR[scheme]
+    nsrc, ndir = len(cfg["srcs"]), cfg["ndir"]
     nd = tuple(len(a) for a in (daxes.tau, daxes.w0, daxes.aspect, daxes.g,
                                 daxes.phi, daxes.theta))
     nf = tuple(len(a) for a in (faxes.tau, faxes.w0, faxes.aspect, faxes.g))
-    d2d = np.zeros(nd + (N_DIR_SRC, NDIR), np.float32)
-    d2f = np.zeros(nd + (N_DIR_SRC, NDIFF), np.float32)
+    d2d = np.zeros(nd + (nsrc, ndir), np.float32)
+    d2f = np.zeros(nd + (nsrc, NDIFF), np.float32)
     f2f = np.zeros(nf + (NDIFF, NDIFF), np.float32)
 
-    for src in range(N_DIR_SRC):
+    for i, src in enumerate(cfg["srcs"]):
         if verbose:
-            print(f"wedge LUT dir src {src}/{N_DIR_SRC}", flush=True)
-        T, S = _trace_grid(daxes, src, True, n_photons, seed + src)
-        d2d[..., src, :] = T
-        d2f[..., src, :] = S
+            print(f"wedge LUT dir src {src}/{nsrc}", flush=True)
+        T, S = _trace_grid(daxes, src, True, n_photons, seed + src, scheme)
+        d2d[..., i, :] = T
+        d2f[..., i, :] = S
     for src in range(NDIFF):
         if verbose:
             print(f"wedge LUT diff src {src}/{NDIFF}", flush=True)
-        _, S = _trace_grid(faxes, src, False, n_photons, seed + 100 + src)
+        _, S = _trace_grid(faxes, src, False, n_photons, seed + 100 + src, scheme)
         f2f[..., src, :] = S
 
-    _sanitize_dir_tables(daxes, d2d, d2f)
+    _sanitize_dir_tables(daxes, d2d, d2f, scheme)
 
     # exact mirror symmetry of the right isoceles triangle about the
     # axis through B: swaps AB <-> BC, fixes top/bot/CA.  Averaging the
@@ -193,12 +230,13 @@ def create_wedge_lut(
         assert np.isfinite(t).all(), f"wedge LUT {name} has non-finite entries"
         rows = t.sum(-1)
         assert (rows <= 1.0 + 1e-3).all(), f"wedge LUT {name} row sums exceed 1"
-    return WedgeLUT(daxes, faxes, d2d, d2f, f2f)
+    return WedgeLUT(daxes, faxes, d2d, d2f, f2f, scheme)
 
 
 def load_or_create_wedge_lut(
     daxes: Optional[WedgeAxes] = None, faxes: Optional[WedgeAxes] = None,
     n_photons: int = 5000, basename: Optional[str] = None, verbose: bool = False,
+    scheme: str = "5_8",
 ) -> WedgeLUT:
     daxes = daxes or test_axes()
     faxes = faxes or WedgeAxes(daxes.tau, daxes.w0, daxes.aspect, daxes.g)
@@ -209,11 +247,12 @@ def load_or_create_wedge_lut(
     key = hashlib.sha256(
         (daxes.hash() + faxes.hash() + str(n_photons)).encode()
     ).hexdigest()[:16]
-    path = os.path.join(root, f"WEDGE_LUT_5_8_{key}.npz")
+    path = os.path.join(root, f"WEDGE_LUT_{scheme}_{key}.npz")
     if os.path.exists(path):
         z = np.load(path)
-        return WedgeLUT(daxes, faxes, z["dir2dir"], z["dir2diff"], z["diff2diff"])
-    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose)
+        return WedgeLUT(daxes, faxes, z["dir2dir"], z["dir2diff"], z["diff2diff"],
+                        scheme)
+    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose, scheme=scheme)
     os.makedirs(root, exist_ok=True)
     np.savez_compressed(path, dir2dir=lut.dir2dir, dir2diff=lut.dir2diff,
                         diff2diff=lut.diff2diff)

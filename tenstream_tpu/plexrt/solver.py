@@ -36,7 +36,7 @@ import numpy as np
 from tenstream_tpu.core.types import PI, ireals
 from tenstream_tpu.ops.planck import b_eff
 from tenstream_tpu.plexrt.mesh import SIDE_OFFSETS, PlexGrid
-from tenstream_tpu.plexrt.optprop import N_DIR_SRC, WedgeOptProp
+from tenstream_tpu.plexrt.optprop import WedgeOptProp
 from tenstream_tpu.plexrt.wedge_boxmc import NDIFF
 
 
@@ -55,8 +55,27 @@ class PlexSolution(NamedTuple):
     abso: jnp.ndarray  # (nz, 2, nx, ny) [W/m3]
 
 
+# Direct-stream bookkeeping per wedge scheme.  The diffuse side (8
+# streams) is identical for 5_8 and 18_8; only the direct resolution
+# differs (whole faces vs face quarters, reference
+# `src/boxmc_wedge_18_8.inc`).
+#   n_top:   vertical streams per z-face (1 whole face | 3 corner quads)
+#   n_q:     streams per side face (1 | 4 quads)
+#   bot_dst: bottom-exit dir dofs, corner-ordered so that layer k's
+#            bottom stream feeds the SAME corner's top stream of k+1
+#   u_flip:  quad permutation under the 180-degree partner rotation
+#            (the shared edge reverses its parameterization, so
+#            u-low <-> u-high while the z split is preserved)
+_DIR_CFG = {
+    "5_8": dict(n_top=1, n_q=1, side0=1, bot_dst=(4,), u_flip=(0,)),
+    "18_8": dict(n_top=3, n_q=4, side0=3, bot_dst=(15, 16, 17),
+                 u_flip=(1, 0, 3, 2)),
+}
+
+
 class PlexrtSolver:
-    """Monochromatic wedge-mesh solver (wedge_5_8 scheme)."""
+    """Monochromatic wedge-mesh solver (wedge_5_8 or wedge_18_8 scheme;
+    the scheme follows the optprop tables)."""
 
     def __init__(self, grid: PlexGrid, opp: WedgeOptProp, n_inner: int = 24,
                  diff_iters: int = 300, diff_rtol: float = 1e-5):
@@ -65,6 +84,10 @@ class PlexrtSolver:
         # exact to <1e-4 (see tests)
         self.grid = grid
         self.opp = opp
+        self.scheme = getattr(opp.lut, "scheme", "5_8")
+        if self.scheme not in _DIR_CFG:
+            raise ValueError(f"unsupported wedge solver scheme {self.scheme}")
+        self._dcfg = _DIR_CFG[self.scheme]
         self.n_inner = n_inner
         self.diff_iters = diff_iters
         self.diff_rtol = diff_rtol
@@ -111,45 +134,56 @@ class PlexrtSolver:
     def _solve_edir(self, d2d, edirTOA: float):
         """Layer scan top->bottom with inner side-exchange iterations
         (the wedge analogue of the cube solver's X<->Y relaxation,
-        reference explicit sweep `plex_rt.F90:2579+`)."""
+        reference explicit sweep `plex_rt.F90:2579+`).
+
+        Returns (edir levels summed over top streams, per-cell net
+        deposition, per-layer full source vectors vs (nz, nsrc, ...))."""
         g = self.grid
+        cfg = self._dcfg
+        n_top, n_q, side0 = cfg["n_top"], cfg["n_q"], cfg["side0"]
+        u_flip = cfg["u_flip"]
+        bot_dst = np.asarray(cfg["bot_dst"], np.int32)
         shape2 = (2, g.nx, g.ny)
         # TOA source: E0 is the beam flux, projected onto the horizontal
         # top faces with mu (reference `create_edir_src_vec`,
-        # `plexrt/plex_rt.F90:1617-1623`: xv = E0 * area * mu_top)
+        # `plexrt/plex_rt.F90:1617-1623`: xv = E0 * area * mu_top).
+        # 18_8 splits the top face into 3 EQUAL-area corner quads.
         sd = np.asarray(self._sundir, np.float64)
         mu = jnp.asarray(abs(sd[2]) / np.linalg.norm(sd), ireals)
-        top0 = jnp.full(shape2, edirTOA * g.area_tri, ireals) * mu
+        top0 = jnp.full((n_top,) + shape2, edirTOA * g.area_tri / n_top,
+                        ireals) * mu
 
-        def layer(top_in, C):  # C: (2,nx,ny, src=4, dst=5)
-            I = jnp.zeros((3,) + shape2, ireals)
+        def layer(top_in, C):  # C: (2,nx,ny, nsrc, ndir)
+            I = jnp.zeros((3 * n_q,) + shape2, ireals)
 
             def inner(_, I):
-                v = jnp.concatenate([top_in[None], I], axis=0)  # (4, 2,nx,ny)
-                out = jnp.einsum("s...,...sd->d...", v, C)  # (5, 2,nx,ny)
+                v = jnp.concatenate([top_in, I], axis=0)  # (nsrc, 2,nx,ny)
+                out = jnp.einsum("s...,...sd->d...", v, C)  # (ndir, 2,nx,ny)
                 # exchange: incoming through side s of orientation o is
-                # the side-s outflow of the partner cell (1-o)
+                # the side-s outflow of the partner cell (1-o); for
+                # quad-resolved sides the shared edge's u parameter
+                # reverses under the 180-degree partner rotation
                 new = []
                 for s in range(3):
                     di, dj = SIDE_OFFSETS[s]
-                    o_t0 = out[1 + s, 0]  # T0 outflow -> into T1 partner
-                    o_t1 = out[1 + s, 1]  # T1 outflow -> into T0 partner
-                    in_t0 = _roll2(o_t1, -di, -dj)
-                    in_t1 = _roll2(o_t0, di, dj)
-                    new.append(jnp.stack([in_t0, in_t1], axis=0))
+                    for q in range(n_q):
+                        o = out[side0 + n_q * s + u_flip[q]]
+                        in_t0 = _roll2(o[1], -di, -dj)
+                        in_t1 = _roll2(o[0], di, dj)
+                        new.append(jnp.stack([in_t0, in_t1], axis=0))
                 return jnp.stack(new, axis=0)
 
             I = jax.lax.fori_loop(0, self.n_inner, inner, I)
-            v = jnp.concatenate([top_in[None], I], axis=0)
+            v = jnp.concatenate([top_in, I], axis=0)
             out = jnp.einsum("s...,...sd->d...", v, C)
-            bot = out[4]
-            absorbed_in = top_in + I.sum(0)
-            return bot, (bot, absorbed_in - out.sum(0), I)
+            # bottom corner k of this layer feeds the SAME corner's top
+            # stream of the next layer (congruent stacked prisms)
+            bot = out[bot_dst]  # (n_top, 2,nx,ny)
+            return bot, (bot.sum(0), v.sum(0) - out.sum(0), v)
 
-        Cs = jnp.moveaxis(d2d, 0, 0)  # (nz, 2, nx, ny, 4, 5)
-        _, (bots, net, sides) = jax.lax.scan(layer, top0, Cs)
-        edir = jnp.concatenate([top0[None], bots], axis=0)  # (nz+1, 2,nx,ny)
-        return edir, net, sides
+        _, (bots, net, vs) = jax.lax.scan(layer, top0, d2d)
+        edir = jnp.concatenate([top0.sum(0)[None], bots], axis=0)  # (nz+1, 2,nx,ny)
+        return edir, net, vs
 
     # ------------------------------------------------------------------
     def _diff_op(self, f2f, E, F, b, albedo, dir_sfc):
@@ -193,14 +227,17 @@ class PlexrtSolver:
         E_new = E_new.at[0, 0].set(0.0)
         return E_new, F_new
 
-    def _sources(self, f2f, d2f, sides_dir, edir):
-        """Diffuse source b from direct scattering + thermal emission."""
+    def _sources(self, f2f, d2f, vs_dir, edir):
+        """Diffuse source b from direct scattering + thermal emission.
+
+        vs_dir: per-layer full direct source vectors (nz, nsrc, 2,nx,ny)
+        from `_solve_edir`."""
         g = self.grid
         bE = jnp.zeros((2, g.nz + 1, 2, g.nx, g.ny), ireals)
         bF = jnp.zeros((4, g.nz, 3, g.nx, g.ny), ireals)
 
-        if d2f is not None and edir is not None:
-            v = jnp.concatenate([edir[:-1][None], jnp.moveaxis(sides_dir, 1, 0)], axis=0)
+        if d2f is not None and vs_dir is not None:
+            v = jnp.moveaxis(vs_dir, 1, 0)  # (nsrc, nz, 2,nx,ny)
             src = jnp.einsum("s...,...sd->d...", v, d2f)  # (8, nz, 2,nx,ny)
             bE = bE.at[1, :-1].add(src[0])
             bE = bE.at[0, 1:].add(src[7])
@@ -258,13 +295,13 @@ class PlexrtSolver:
         f2f, d2d, d2f = self._coeffs(need_dir)
 
         edir = None
-        sides_dir = None
+        vs_dir = None
         dir_net = jnp.zeros((g.nz, 2, g.nx, g.ny), ireals)
         if need_dir:
-            edir, dir_net, sides_dir = self._solve_edir(d2d, edirTOA)
+            edir, dir_net, vs_dir = self._solve_edir(d2d, edirTOA)
 
         bE, bF = self._sources(
-            f2f, d2f if need_dir else None, sides_dir, edir,
+            f2f, d2f if need_dir else None, vs_dir, edir,
         ) if (need_dir or lthermal) else (
             jnp.zeros((2, g.nz + 1, 2, g.nx, g.ny), ireals),
             jnp.zeros((4, g.nz, 3, g.nx, g.ny), ireals),

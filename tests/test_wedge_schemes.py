@@ -96,3 +96,95 @@ def test_energy_conservation_all_schemes():
             np.testing.assert_allclose(total, 1.0, atol=2e-3)
             assert np.asarray(T).shape == (ndir,)
             assert np.asarray(S).shape == (ndiff,)
+
+
+# ----------------------------------------------------------------------
+# 18_8 end-to-end: the structured wedge solver running on 18_8 tables
+# (reference `t_plex_solver_18_8`, `plexrt/plex_rt_base.F90:28-75`).
+
+import os  # noqa: E402
+
+_LUTDIR = os.path.join(os.path.dirname(__file__), "data", "luts")
+
+
+@pytest.fixture(scope="module")
+def opp18():
+    from tenstream_tpu.plexrt.optprop import (
+        WedgeAxes, WedgeOptProp, load_or_create_wedge_lut,
+    )
+
+    axes = WedgeAxes(
+        tau=np.array([1e-10, 0.5, 2.0, 8.0], np.float32),
+        w0=np.array([0.0, 0.7, 0.99999], np.float32),
+        aspect=np.array([0.5, 1.0, 2.0], np.float32),
+        g=np.array([0.0, 0.5], np.float32),
+        phi=np.linspace(0.0, 360.0, 5).astype(np.float32),
+        theta=np.array([0.0, 40.0, 75.0], np.float32),
+    )
+    return WedgeOptProp(load_or_create_wedge_lut(
+        axes, n_photons=1000, scheme="18_8", basename=_LUTDIR))
+
+
+def _sundir(phi_deg, theta_deg):
+    p, t = np.deg2rad(phi_deg), np.deg2rad(theta_deg)
+    return np.array([np.sin(p) * np.sin(t), np.cos(p) * np.sin(t), -np.cos(t)])
+
+
+def test_18_8_solver_transparent_exact(opp18):
+    """Transparent medium: per-corner direct streams recombine to the
+    exact beam at every level (also validates the corner-to-corner
+    layer coupling and the u-flip side-quad exchange)."""
+    from tenstream_tpu.plexrt.mesh import fish_mesh
+    from tenstream_tpu.plexrt.solver import PlexrtSolver
+
+    g = fish_mesh(5, 6, 6, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp18)
+    assert s.scheme == "18_8"
+    z = np.full((5, 2, 6, 6), 1e-10, np.float32)
+    s.set_optical_properties(0.3, z, z, np.zeros_like(z))
+    s.set_angles(_sundir(30.0, 40.0))
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    mu = np.cos(np.deg2rad(40.0))
+    np.testing.assert_allclose(edir[-1].mean(), 1000.0 * mu, rtol=1e-3)
+    np.testing.assert_allclose(eup[0].mean(), 300.0 * mu, rtol=3e-2)
+    assert np.abs(abso).max() < 1e-3
+
+
+def test_18_8_solver_energy_balance(opp18):
+    from tenstream_tpu.plexrt.mesh import fish_mesh
+    from tenstream_tpu.plexrt.solver import PlexrtSolver
+
+    g = fish_mesh(5, 6, 6, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp18)
+    ka = np.full((5, 2, 6, 6), 3e-4, np.float32)
+    ks = np.full((5, 2, 6, 6), 1e-3, np.float32)
+    gg = np.full((5, 2, 6, 6), 0.4, np.float32)
+    s.set_optical_properties(0.3, ka, ks, gg)
+    s.set_angles(_sundir(30.0, 40.0))
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    bal = (eup[0].mean() + (abso * 100.0).sum(0).mean()
+           + (edir[-1] + edn[-1] - eup[-1]).mean())
+    incoming = 1000.0 * np.cos(np.deg2rad(40.0))
+    assert abs(bal - incoming) / incoming < 0.01, bal
+
+
+def test_18_8_solver_thermal_isothermal(opp18):
+    from tenstream_tpu.plexrt.mesh import fish_mesh
+    from tenstream_tpu.plexrt.solver import PlexrtSolver
+
+    g = fish_mesh(5, 6, 6, 100.0, 100.0, 100.0)
+    s = PlexrtSolver(g, opp18)
+    ka = np.full((5, 2, 6, 6), 5e-3, np.float32)
+    pl = np.full((6, 2, 6, 6), 3.0, np.float32)
+    s.set_optical_properties(0.0, ka, np.zeros_like(ka), np.zeros_like(ka),
+                             planck=pl)
+    s.set_angles(_sundir(0.0, 40.0))
+    sol = s.solve(lthermal=True, lsolar=False)
+    _, edn, eup, abso = map(np.asarray, s.get_result(sol))
+    np.testing.assert_allclose(eup[0].mean(), np.pi * 3.0, rtol=0.05)
+    assert abs(edn[0]).max() < 1e-4
+    # near radiative equilibrium in the interior (bound scales with the
+    # 1000-photon fixture LUT's MC noise on the emissivity rows)
+    assert np.abs(abso[-1]).max() * 100.0 < 0.35
