@@ -278,6 +278,11 @@ def solve_bicgstab(
 
     dtype = b.dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e4, dtype)
+    # 30 non-improving iterations before accepting the best iterate:
+    # BiCGStab's residual is erratic enough that limits <~10 exit
+    # prematurely with garbage (measured: stall=6 stopped a converging
+    # cold solve at niter=8 with res 1e7); stall in [10, 30] never
+    # triggered before the rtol exit on the bench scenes
     stall_limit = 30
 
     x = jnp.zeros_like(b) if x0 is None else x0

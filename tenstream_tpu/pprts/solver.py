@@ -47,6 +47,47 @@ from tenstream_tpu.pprts.sun import SunInfo, suninfo_from_sundir
 from tenstream_tpu.streams import StreamScheme, get_scheme
 
 
+def _twostream_guess(scheme, grid, kabs, ksca, g, albedo2d, mu0, incSolar,
+                     planck=None, planck_srfc=None):
+    """Cold-start initial guess for the diffuse solve from the exact
+    two-stream column solution (reference initial-guess-by-twostream
+    option, `src/pprts.F90:2536-2575`).
+
+    Top stream dofs carry the per-column Edn/Eup split by hemisphere-bin
+    weight; side dofs carry the isotropic-radiance estimate
+    ((Edn+Eup)/2 through the side face area).  Returned in the solver's
+    internal [W] units.  Cost is one scan over nz — negligible next to
+    the Krylov iterations it saves on cold solves.
+    """
+    from tenstream_tpu.ops.twostream import delta_eddington_twostream
+
+    kext = jnp.maximum(kabs + ksca, jnp.finfo(ireals).tiny)
+    dtau = kext * grid.dz3d
+    w0 = ksca / kext
+    _, Edn, Eup = delta_eddington_twostream(
+        dtau, w0, g, mu0, incSolar, albedo2d,
+        planck=planck, planck_srfc=planck_srfc,
+    )  # (nz+1, nx, ny) [W/m2] in the untilted internal convention
+    s = scheme
+    inward = s.diff_inward()
+    wtop = s.difftop_weights()
+    wside = s.diffside_weights()
+    nt, ns = s.difftop.dof, s.diffside.dof
+    iso = 0.25 * (Edn[:-1] + Eup[:-1] + Edn[1:] + Eup[1:])  # (nz,...)
+    zeros_lvl = jnp.zeros((1, grid.nx, grid.ny), ireals)
+    rows = []
+    for d in range(s.ndiff):
+        if d < nt:
+            F = Edn if inward[d] else Eup
+            rows.append(F * (grid.az * float(wtop[d])))
+        else:
+            a = grid.dy if d < nt + ns else grid.dx
+            w = float(wside[(d - nt) % ns])
+            area = a * grid.dz3d / s.diffside.area_divider
+            rows.append(jnp.concatenate([iso * area * w, zeros_lvl], axis=0))
+    return jnp.stack(rows, axis=0)
+
+
 class Solution(NamedTuple):
     """Cached per-uid state (reference `t_state_container`,
     `src/pprts_base.F90:137-169`)."""
@@ -206,6 +247,7 @@ class PprtsSolver:
             self.scheme.name,
             tuple(np.asarray(self._l1d).tolist()),
             self.options.get("diff_solver", "bicgstab"),
+            self.options.get_bool("diff_guess_2str", False),
             self.options.get_int("pprts_assembly_z_slab", -1),
             self._buildings is not None,
             id(getattr(self, "_mesh", None)),
@@ -232,6 +274,15 @@ class PprtsSolver:
         # cheap cyclic scans; 8 passes reach ~1e-7 energy closure even at
         # strongly tilted sun (theta ~ 40deg), see tests.
         n_inner = self.options.get_int("edir_inner_iter", 8)
+        # OPT-IN cold-solve initial guess from the exact two-stream
+        # column solution (reference initial-guess-by-twostream option,
+        # `src/pprts.F90:2536-2575`).  Measured trade-off on cold box-
+        # cloud solves: the final residual improves ~50x (5.2 vs 258 in
+        # [W] at identical fluxes) but BiCGStab needs ~20% MORE
+        # iterations — the smoother r0 seeds a worse Krylov sequence —
+        # so the default stays off for wall-clock; enable for tighter
+        # converged cold solves.  Warm starts always take precedence.
+        guess_2str = self.options.get_bool("diff_guess_2str", False)
 
         buildings = self._buildings
         # bf16 coefficient compression halves the HBM traffic of the
@@ -338,6 +389,19 @@ class PprtsSolver:
                     planck_srfc=planck_srfc if has_planck_srfc else None,
                 )
                 b = b + b_th
+
+            if guess_2str:
+                if lsolar and sun is not None and sun.sun_up:
+                    mu0g, incg = sun.mu, edirTOA
+                else:
+                    mu0g, incg = jnp.asarray(0.5, ireals), jnp.asarray(0.0, ireals)
+                guess = _twostream_guess(
+                    scheme, grid, kabs, ksca, g, albedo2d, mu0g, incg,
+                    planck=planck if lthermal else None,
+                    planck_srfc=planck_srfc if (lthermal and has_planck_srfc) else None,
+                )
+                cold = jnp.max(jnp.abs(x0)) == 0.0
+                x0 = jnp.where(cold, guess, x0)
 
             if diff_solver == "bicgstab":
                 ediff, niter, res = solve_bicgstab(

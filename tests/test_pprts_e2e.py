@@ -224,3 +224,30 @@ def test_zslab_assembly_matches_batched(opp):
         res[slab] = [np.asarray(a) for a in solver.get_result()]
     for a, b in zip(res[0], res[3]):
         np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_twostream_initial_guess_optin(opp):
+    """Opt-in `diff_guess_2str` (reference initial-guess-by-twostream,
+    `src/pprts.F90:2536-2575`): cold-solve fluxes must match the
+    default zero-start solve, and the converged residual must not be
+    worse (it is typically ~50x better at ~20% more iterations — see
+    the option's docstring in pprts/solver.py)."""
+    _, solver, ka, ks, gg = _setup(opp)
+    ka[3:5, 2:6, 2:6] = 5e-3
+    ks[3:5, 2:6, 2:6] = 5e-2
+    solver.set_optical_properties(0.15, ka, ks, gg)
+    solver.set_angles(sundir_from_angles(30.0, 40.0))
+    sol0 = solver.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir0, edn0, eup0, _ = map(np.asarray, solver.get_result())
+
+    s2 = PprtsSolver(solver.grid, opp)
+    s2.options.set("diff_guess_2str", True)
+    s2.set_optical_properties(0.15, ka, ks, gg)
+    s2.set_angles(sundir_from_angles(30.0, 40.0))
+    sol1 = s2.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir1, edn1, eup1, _ = map(np.asarray, s2.get_result())
+
+    np.testing.assert_allclose(edir1, edir0, rtol=1e-5)
+    np.testing.assert_allclose(edn1, edn0, atol=0.05)
+    np.testing.assert_allclose(eup1, eup0, atol=0.05)
+    assert float(np.asarray(sol1.diff_res)) <= float(np.asarray(sol0.diff_res)) * 1.5
