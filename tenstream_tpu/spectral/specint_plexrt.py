@@ -1,9 +1,13 @@
-"""Spectral integration on the wedge-mesh (plexrt) solver.
+"""Spectral integration on the wedge-mesh (plexrt) solvers.
 
 Parity: reference `specint/specint_plexrt.F90` — the same user-facing
-flow as `specint_pprts` but driving the triangle-mesh solver: per
+flow as `specint_pprts` but driving the triangle-mesh solvers: per
 g-point, broadcast the background-column gas optics onto the wedge
-grid, merge 3-D clouds, solve, and accumulate weighted fluxes.
+grid, merge 3-D clouds, solve, and accumulate weighted fluxes.  Works
+on BOTH the structured `PlexrtSolver` (fish meshes) and the
+unstructured `PlexrtSolverIcon` (ICON grid files) — the reference's
+plexrt_rrtmg drives ICON-grid solvers the same way
+(`rrtmg/rrtmg/plexrt_rrtmg.F90`).
 
 The g-point axis is band-BATCHED like `specint_pprts`: the wedge
 solver's solve() is a pure function of the optical-property fields, so
@@ -27,40 +31,52 @@ from tenstream_tpu.spectral.specint import _BACKENDS, _merge_cloud
 
 
 class PlexSpectralResult(NamedTuple):
-    edir: Optional[jnp.ndarray]  # (nz+1, 2, nx, ny) [W/m2]
+    edir: Optional[jnp.ndarray]  # structured: (nz+1, 2, nx, ny); icon: (nz+1, nc) [W/m2]
     edn: jnp.ndarray
     eup: jnp.ndarray
-    abso: jnp.ndarray  # (nz, 2, nx, ny) [W/m3]
+    abso: jnp.ndarray  # cell-shaped [W/m3]
 
 
 def specint_plexrt(
-    solver: PlexrtSolver,
+    solver,
     atm: Atmosphere,
     albedo: float,
     lthermal: bool,
     lsolar: bool,
     specint: str = "ecckd",
-    lwc=None,  # (nlay, 2, nx, ny) [g/m3]
+    lwc=None,  # cell-shaped [g/m3]
     reliq=None,
     max_gpt: Optional[int] = None,
     band_chunk: int = 8,
 ) -> PlexSpectralResult:
     backend = _BACKENDS[specint]() if isinstance(specint, str) else specint
-    g = solver.grid
-    nz, nx, ny = g.nz, g.nx, g.ny
+    if hasattr(solver, "grid"):  # structured fish-mesh solver
+        g = solver.grid
+        nz = g.nz
+        cell_shape = (nz, 2, g.nx, g.ny)
+        dz3 = jnp.asarray(g.dz3d(), ireals)
+        area = jnp.asarray(g.area_tri, ireals)
+    else:  # PlexrtSolverIcon on a TriMesh
+        nz = solver.nz
+        nc = solver.mesh.ncell
+        cell_shape = (nz, nc)
+        dz3 = jnp.asarray(solver.dz, ireals).reshape((nz, 1)) * jnp.ones(
+            cell_shape, ireals
+        )
+        area = jnp.asarray(solver.mesh.area, ireals)[None]  # (1, nc)
     assert nz == atm.nlay, "plex grid nz must match atm.nlay"
-    dz3 = jnp.asarray(g.dz3d(), ireals)
+    lvl_shape = (nz + 1,) + cell_shape[1:]
+    col = (slice(None),) + (None,) * (len(cell_shape) - 1)  # (nz,) -> cell bcast
 
-    shape = (nz, 2, nx, ny)
     edir_acc = None
-    edn = jnp.zeros((nz + 1, 2, nx, ny), ireals)
+    edn = jnp.zeros(lvl_shape, ireals)
     eup = jnp.zeros_like(edn)
-    abso = jnp.zeros(shape, ireals)
+    abso = jnp.zeros(cell_shape, ireals)
 
     def fields_for(sp, igpt, kind):
-        tau_g = jnp.asarray(sp.tau[igpt], ireals)[:, None, None, None] * jnp.ones(shape, ireals)
-        w0_g = jnp.asarray(sp.w0[igpt], ireals)[:, None, None, None] * jnp.ones(shape, ireals)
-        g_g = jnp.asarray(sp.g[igpt], ireals)[:, None, None, None] * jnp.ones(shape, ireals)
+        tau_g = jnp.asarray(sp.tau[igpt], ireals)[col] * jnp.ones(cell_shape, ireals)
+        w0_g = jnp.asarray(sp.w0[igpt], ireals)[col] * jnp.ones(cell_shape, ireals)
+        g_g = jnp.asarray(sp.g[igpt], ireals)[col] * jnp.ones(cell_shape, ireals)
         if lwc is not None:
             if hasattr(backend, "cloud_optprops_gpt"):
                 tc, wc, gc = backend.cloud_optprops_gpt(
@@ -99,12 +115,12 @@ def specint_plexrt(
             # weight is the per-gpt beam irradiance; the solver applies
             # the E0*mu_top TOA projection itself (plexrt parity)
             sol = solver.solve(lthermal=not solar, lsolar=solar, edirTOA=toa)
-            e = sol.edir if sol.edir is not None else jnp.zeros(
-                (nz + 1, 2, nx, ny), ireals)
+            e = sol.edir if sol.edir is not None else jnp.zeros(lvl_shape, ireals)
             return e, sol.edn, sol.eup, sol.abso
 
         vfn = jax.jit(jax.vmap(one_gpt))
-        zplanck = jnp.zeros((nz + 1, 2, nx, ny), ireals)
+        zplanck = jnp.zeros(lvl_shape, ireals)
+        lvl_col = (slice(None), slice(None)) + (None,) * (len(cell_shape) - 1)
         for lo in range(0, ngpt, band_chunk):
             hi = min(lo + band_chunk, ngpt)
             kabs_b, ksca_b, g_b = (
@@ -115,8 +131,8 @@ def specint_plexrt(
             )
             if has_planck:
                 planck_b = (
-                    jnp.asarray(sp.planck[lo:hi], ireals)[:, :, None, None, None]
-                    * jnp.ones((nz + 1, 2, nx, ny), ireals)
+                    jnp.asarray(sp.planck[lo:hi], ireals)[lvl_col]
+                    * jnp.ones((hi - lo,) + lvl_shape, ireals)
                 )
             else:
                 planck_b = jnp.broadcast_to(zplanck, (hi - lo,) + zplanck.shape)
@@ -136,8 +152,7 @@ def specint_plexrt(
     if lthermal:
         run(backend.thermal(atm), False)
 
-    a = g.area_tri
     return PlexSpectralResult(
-        None if edir_acc is None else edir_acc / a,
-        edn / a, eup / a, abso,
+        None if edir_acc is None else edir_acc / area,
+        edn / area, eup / area, abso,
     )

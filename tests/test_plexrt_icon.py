@@ -159,3 +159,54 @@ def test_solar_energy_balance_open(opp):
     # solver avoids this class entirely via the closed-form dir2dir;
     # a wedge closed form is future work)
     np.testing.assert_allclose(edir[-1, center], expect, rtol=0.08)
+
+
+def test_specint_on_icon_solver(opp):
+    """Spectral integration drives the unstructured solver end-to-end
+    (reference plexrt_rrtmg on ICON grids, `rrtmg/rrtmg/plexrt_rrtmg.F90`):
+    clear-sky ecCKD LW+SW broadband fluxes on an ICON TriMesh agree with
+    the structured fish-mesh solver on the congruent triangulation
+    (interior columns; the open lateral boundary only perturbs the rim)."""
+    from tenstream_tpu.atm import setup_standard_atmosphere
+    from tenstream_tpu.plexrt.mesh import fish_mesh
+    from tenstream_tpu.plexrt.solver import PlexrtSolver
+    from tenstream_tpu.spectral.specint_plexrt import specint_plexrt
+
+    nz, nx, ny = 10, 8, 8
+    # aspect ~ 1 layers and NEAR-OVERHEAD sun: the open lateral boundary
+    # (icon) vs periodic (structured) difference is then confined to the
+    # rim for the direct beam (at theta=40 the beam displaces laterally
+    # ~1 cell/layer and the boundary shadow reaches the interior —
+    # physics, not a defect; measured ratio 0.59 there vs 0.998 at 5 deg).
+    # Diffuse fields are boundary-drained everywhere on a domain this
+    # small, so only sanity bounds apply to them.
+    atm = setup_standard_atmosphere(z_grid=np.linspace(1000.0, 0.0, nz + 1))
+    dz = atm.dz.astype(np.float32)
+
+    mesh = trimesh_from_structured(nx, ny, 100.0, 100.0)
+    si = PlexrtSolverIcon(mesh, dz, opp)
+    si.set_angles(_sundir(30.0, 5.0))
+    ri = specint_plexrt(si, atm, 0.15, lthermal=True, lsolar=True,
+                        specint="ecckd", max_gpt=4, band_chunk=4)
+
+    gs = fish_mesh(nz, nx, ny, 100.0, 100.0, dz)
+    ss = PlexrtSolver(gs, opp)
+    ss.set_angles(_sundir(30.0, 5.0))
+    rs = specint_plexrt(ss, atm, 0.15, lthermal=True, lsolar=True,
+                        specint="ecckd", max_gpt=4, band_chunk=4)
+
+    # icon cells c = 2*(i*ny+j)+o <-> structured (o, i, j); compare the
+    # interior (strip off the open-boundary rim)
+    ei = np.asarray(ri.edir).reshape(-1, nx, ny, 2)[:, 2:-2, 2:-2].mean((1, 2, 3))
+    es = np.moveaxis(np.asarray(rs.edir), 1, -1)[:, 2:-2, 2:-2].mean((1, 2, 3))
+    err = float(np.abs(ei - es).max()) / float(np.abs(es).max())
+    assert err < 0.03, f"edir: icon vs structured interior mismatch {err:.3f}"
+
+    # diffuse sanity: finite, positive where expected, bounded by the
+    # periodic solution (open boundaries only drain)
+    for name, a, b in (("edn", ri.edn, rs.edn), ("eup", ri.eup, rs.eup)):
+        ai, bs = np.asarray(a), np.asarray(b)
+        assert np.isfinite(ai).all()
+        assert ai.min() >= -1e-3
+        assert ai.mean() <= bs.mean() * 1.05, name
+    assert np.isfinite(np.asarray(ri.abso)).all()
