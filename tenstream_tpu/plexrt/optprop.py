@@ -99,6 +99,24 @@ def test_axes() -> WedgeAxes:
     )
 
 
+def default_axes() -> WedgeAxes:
+    """Production-grade wedge parameter space (reference wedge LUT
+    presets, `src/optprop_parameters.F90` LUT_WEDGE blocks, at the same
+    documented angle-density deviation as the cube production tables:
+    the smooth dir2diff scattering source tolerates coarser angles, and
+    the canonical-triangle mirror symmetrization averages 2 samples per
+    stored coefficient)."""
+    return WedgeAxes(
+        tau=np.array([1e-10, 1e-3, 1e-2, 0.05, 0.15, 0.4, 0.8, 1.5,
+                      3.0, 6.0, 12.0, 30.0, 100.0], np.float32),
+        w0=np.array([0.0, 0.35, 0.6, 0.8, 0.9, 0.95, 0.99, 0.99999], np.float32),
+        aspect=np.array([0.15, 0.3, 0.5, 0.75, 1.0, 1.5, 2.5, 5.0], np.float32),
+        g=np.array([0.0, 0.25, 0.5, 0.85], np.float32),
+        phi=np.linspace(0.0, 360.0, 13).astype(np.float32),
+        theta=np.array([0.0, 15.0, 30.0, 42.5, 55.0, 67.5, 80.0], np.float32),
+    )
+
+
 def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int,
                 scheme: str = "5_8"):
     """Vectorized tracing over the whole entry grid (vmapped)."""

@@ -51,6 +51,26 @@ def main():
                     help="production preset: cap for the dir2diff sources")
     args = ap.parse_args()
 
+    if args.scheme.startswith("wedge_"):
+        # wedge LUTs (plexrt solvers): fixed-photon generation over the
+        # wedge parameter space with mirror symmetrization
+        from tenstream_tpu.plexrt.optprop import (
+            default_axes as wedge_default_axes,
+            load_or_create_wedge_lut,
+            test_axes as wedge_test_axes,
+        )
+
+        wscheme = args.scheme[len("wedge_"):]
+        axes = wedge_test_axes() if args.preset == "mockup" else wedge_default_axes()
+        t0 = time.time()
+        lut = load_or_create_wedge_lut(
+            axes, n_photons=args.photons, basename=args.out,
+            verbose=True, scheme=wscheme,
+        )
+        print(f"done in {time.time()-t0:.1f}s; dir table {lut.dir2dir.shape}, "
+              f"diff table {lut.diff2diff.shape}")
+        return
+
     from tenstream_tpu.optprop.lut import (
         create_production_lut,
         default_axes,
