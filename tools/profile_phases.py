@@ -117,10 +117,13 @@ def main():
         b, reps=3)
 
     a11, a12 = edd[0], edd[1]
-    t_abs, abso = timeit(
+    # must be jitted: eager mode pays the per-op dispatch latency of the
+    # remote tunnel (~1 ms/op), inflating this phase ~20x vs its cost
+    # inside the solver's jitted graph
+    absfn = jax.jit(
         lambda xx: calc_flx_div(scheme, coeffs, xx, grid.volumes(), l1d,
-                                kabs, grid.dz3d, a11, a12, sun=sun, edir=edir),
-        x)
+                                kabs, grid.dz3d, a11, a12, sun=sun, edir=edir))
+    t_abs, abso = timeit(absfn, x)
 
     total = t_asm + t_edir + t_src + t_ediff_cold + t_abs
     print(f"# scene {NX}x{NY}x{nlay}, backend {jax.default_backend()}, "
