@@ -26,7 +26,7 @@ import numpy as np
 
 from tenstream_tpu.core.types import ireals
 from tenstream_tpu.ops.interp import fractional_index, interp_multilinear
-from tenstream_tpu.plexrt.wedge_boxmc import NDIFF, NDIR, run_wedge_boxmc
+from tenstream_tpu.plexrt.wedge_boxmc import NDIFF, run_wedge_boxmc
 
 _CACHE_VERSION = 2  # v2: downwind-source sanitization baked into tables
 N_DIR_SRC = 4  # 5_8: top, AB, BC, CA (no bottom source for a downward sun)

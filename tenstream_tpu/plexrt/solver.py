@@ -26,7 +26,6 @@ State layout
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
 import jax

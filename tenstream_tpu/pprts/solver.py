@@ -21,7 +21,6 @@ reference `scale_flx`, `src/pprts.F90:3682-3945`); results convert to
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -26,7 +26,6 @@ import numpy as np
 
 from tenstream_tpu.atm import Atmosphere
 from tenstream_tpu.core.types import ireals
-from tenstream_tpu.plexrt.solver import PlexrtSolver
 from tenstream_tpu.spectral.specint import _BACKENDS, _merge_cloud
 
 
