@@ -118,36 +118,58 @@ def default_axes() -> WedgeAxes:
 
 
 def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int,
-                scheme: str = "5_8"):
-    """Vectorized tracing over the whole entry grid (vmapped)."""
+                scheme: str = "5_8", chunk: int = 2048, verbose: bool = False):
+    """Vectorized tracing over the whole entry grid (vmapped).
+
+    Entries are processed in fixed-size chunks: an unchunked vmap over a
+    production-density direct grid materializes the per-photon tally
+    buffer for EVERY entry at once (measured 61 GB for 302k entries x
+    10k photons on the TPU) and keeps recompiling per grid size; chunks
+    bound the live buffer and reuse one compiled kernel.  Per-entry seeds
+    come from the GLOBAL entry index, so results are chunk-size
+    invariant."""
     grids = [axes.tau, axes.w0, axes.aspect, axes.g]
     if ldir:
         grids += [axes.phi, axes.theta]
     mesh = np.meshgrid(*grids, indexing="ij")
-    flat = [jnp.asarray(m.ravel(), jnp.float32) for m in mesh]
-    n = flat[0].shape[0]
-    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
-        jnp.arange(n)
-    )
+    flat_np = [np.asarray(m.ravel(), np.float32) for m in mesh]
+    n = flat_np[0].shape[0]
 
     ndir = _SCHEME_DIR[scheme]["ndir"]
     if ldir:
-        fn = jax.vmap(
+        fn = jax.jit(jax.vmap(
             lambda k, t, w, a, gg, ph, th: run_wedge_boxmc(
                 k, src, True, t, w, gg, a, ph, th, n_photons=n_photons,
                 scheme=scheme,
             )
-        )
-        T, S = fn(keys, flat[0], flat[1], flat[2], flat[3], flat[4], flat[5])
+        ))
     else:
-        fn = jax.vmap(
+        fn = jax.jit(jax.vmap(
             lambda k, t, w, a, gg: run_wedge_boxmc(
                 k, src, False, t, w, gg, a, n_photons=n_photons, scheme=scheme,
             )
-        )
-        T, S = fn(keys, flat[0], flat[1], flat[2], flat[3])
+        ))
+
+    base = jax.random.PRNGKey(seed)
+    Ts, Ss = [], []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        nc = hi - lo
+        idx = np.arange(lo, hi)
+        if nc < chunk:  # pad to the compiled chunk shape
+            idx = np.concatenate([idx, np.full(chunk - nc, lo)])
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.asarray(idx))
+        args = [jnp.asarray(f[idx % n]) for f in flat_np]
+        T, S = fn(keys, *args)
+        Ts.append(np.asarray(T[:nc]))
+        Ss.append(np.asarray(S[:nc]))
+        if verbose and (lo // chunk) % 16 == 0:
+            print(f"  wedge trace src {src} {'dir' if ldir else 'diff'}: "
+                  f"{hi}/{n}", flush=True)
+    T = np.concatenate(Ts, axis=0)
+    S = np.concatenate(Ss, axis=0)
     shp = tuple(len(g) for g in grids)
-    return np.asarray(T).reshape(shp + (ndir,)), np.asarray(S).reshape(shp + (NDIFF,))
+    return T.reshape(shp + (ndir,)), S.reshape(shp + (NDIFF,))
 
 
 def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray,
