@@ -79,3 +79,81 @@ def get_result():
 def destroy():
     _state.clear()
     return 0
+
+
+def specint(nz, nx, ny, dx, dy, phi0, theta0, albedo_thermal, albedo_solar,
+            specname, solver_name, plev_b, tlev_b, lwc_b, reliq_b, iwc_b,
+            reice_b, lthermal, lsolar):
+    """Full-spectrum heating-rate solve (reference `f2c_pprts_rrtmg`,
+    `c_wrapper/f2c_pprts_rrtm.F90:48-161`): merge the host slab with the
+    background atmosphere, run gas-optics spectral integration for the
+    requested kinds, return broadband results on the MERGED grid.
+
+    Deviations (documented): pressures in Pa (not hPa), TOA-first
+    ordering (the solver's z convention), float32 buffers.  lwc/iwc are
+    g/kg like the reference and converted via layer air density.
+    Returns (nz_merged, edir, edn, eup, abso) with flux shapes
+    (nz_merged+1, nx, ny) and abso (nz_merged, nx, ny), all bytes.
+    """
+    from tenstream_tpu.atm import setup_tenstr_atm
+    from tenstream_tpu.optprop.facade import OptProp
+    from tenstream_tpu.optprop.lut import load_or_create_lut, mockup_axes
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral.specint import specint_pprts
+
+    R_DRY = 287.058
+    plev = _f32(plev_b, (nz + 1, nx, ny)).astype(np.float64)
+    tlev = _f32(tlev_b, (nz + 1, nx, ny)).astype(np.float64)
+    kw = {}
+    rho = (0.5 * (plev[:-1] + plev[1:])) / (
+        R_DRY * 0.5 * (tlev[:-1] + tlev[1:]))  # (nz, nx, ny) [kg/m3]
+    if lwc_b is not None:
+        kw["lwc"] = _f32(lwc_b, (nz, nx, ny)) * rho  # g/kg -> g/m3
+        if reliq_b is not None:
+            kw["reliq"] = _f32(reliq_b, (nz, nx, ny))
+    if iwc_b is not None:
+        kw["iwc"] = _f32(iwc_b, (nz, nx, ny)) * rho
+        if reice_b is not None:
+            kw["reice"] = _f32(reice_b, (nz, nx, ny))
+    atm = setup_tenstr_atm(plev, tlev, **kw)
+
+    key = ("specint_solver", atm.nlay, nx, ny, solver_name)
+    if _state.get("specint_key") != key:
+        grid = Grid.create(atm.nlay, nx, ny, dx, dy, np.asarray(atm.dz, np.float32))
+        if solver_name in ("2str", "schwarzschild", "disort"):
+            solver = PprtsSolver(grid, solver_type=solver_name)
+        else:
+            lut = load_or_create_lut(
+                solver_name, mockup_axes(True), mockup_axes(False), n_photons=2000
+            )
+            solver = PprtsSolver(grid, OptProp(lut))
+        _state["specint_key"] = key
+        _state["specint_solver"] = solver
+    solver = _state["specint_solver"]
+    solver.set_angles(sundir_from_angles(phi0, theta0))
+
+    shp_lvl = (atm.nlay + 1, nx, ny)
+    shp_lay = (atm.nlay, nx, ny)
+    edir = np.zeros(shp_lvl, np.float32)
+    edn = np.zeros(shp_lvl, np.float32)
+    eup = np.zeros(shp_lvl, np.float32)
+    abso = np.zeros(shp_lay, np.float32)
+    # the reference runs thermal and solar as separate sub-solves with
+    # their own broadband albedos (`compute_thermal`/`compute_solar`)
+    if lthermal:
+        r = specint_pprts(solver, atm, albedo_thermal, lthermal=True,
+                          lsolar=False, specint=specname)
+        edn += np.asarray(r.edn); eup += np.asarray(r.eup)
+        abso += np.asarray(r.abso)
+    if lsolar:
+        r = specint_pprts(solver, atm, albedo_solar, lthermal=False,
+                          lsolar=True, specint=specname)
+        if r.edir is not None:
+            edir += np.asarray(r.edir)
+        edn += np.asarray(r.edn); eup += np.asarray(r.eup)
+        abso += np.asarray(r.abso)
+
+    return (int(atm.nlay), edir.tobytes(), edn.tobytes(), eup.tobytes(),
+            abso.tobytes())

@@ -42,6 +42,31 @@ int tenstream_tpu_solve(int lthermal, int lsolar, double edirTOA);
  * all W/m2 resp. W/m3.  Any pointer may be NULL to skip. */
 int tenstream_tpu_get_result(float *edir, float *edn, float *eup, float *abso);
 
+/* Full-spectrum (gas-optics) heating-rate solve — reference
+ * `f2c_pprts_rrtmg` (`c_wrapper/f2c_pprts_rrtm.F90:48-161`): the host
+ * slab (nz layers) is merged with the background atmosphere and the
+ * broadband LW/SW result comes back on the MERGED grid.  Out pointers
+ * reference library-owned buffers (valid until the next specint call or
+ * destroy), shaped (*nz_merged+1, nx, ny) for fluxes and
+ * (*nz_merged, nx, ny) for abso, C-order float32.
+ *  plev, tlev  : (nz+1, nx, ny) level pressure [Pa] / temperature [K],
+ *                TOA first (deviation from the reference: Pa, TOA-first)
+ *  lwc, reliq  : (nz, nx, ny) liquid water [g/kg] / eff. radius [um], or NULL
+ *  iwc, reice  : ice water / eff. radius, or NULL
+ *  specint     : "ecckd" | "repwvl" | "rrtmg_sw" | "synthck" | "gray"
+ *  solver_name : stream scheme, e.g. "3_10", or "2str"
+ * Self-contained: no prior tenstream_tpu_init needed. */
+int tenstream_tpu_specint(int nz, int nx, int ny, double dx, double dy,
+                          double phi0, double theta0,
+                          double albedo_thermal, double albedo_solar,
+                          const char *specint, const char *solver_name,
+                          const float *plev, const float *tlev,
+                          const float *lwc, const float *reliq,
+                          const float *iwc, const float *reice,
+                          int lthermal, int lsolar, int *nz_merged,
+                          const float **edir, const float **edn,
+                          const float **eup, const float **abso);
+
 /* Tear down the solver (and optionally the embedded interpreter). */
 int tenstream_tpu_destroy(int finalize_runtime);
 

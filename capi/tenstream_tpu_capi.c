@@ -114,7 +114,62 @@ int tenstream_tpu_get_result(float *edir, float *edn, float *eup, float *abso) {
   return 0;
 }
 
+/* bytes objects backing the specint out-pointers; kept alive until the
+ * next call or destroy (reference returns pointers into solver-owned
+ * Fortran arrays the same way) */
+static PyObject *g_specint_bufs = NULL;
+
+int tenstream_tpu_specint(int nz, int nx, int ny, double dx, double dy,
+                          double phi0, double theta0,
+                          double albedo_thermal, double albedo_solar,
+                          const char *specint, const char *solver_name,
+                          const float *plev, const float *tlev,
+                          const float *lwc, const float *reliq,
+                          const float *iwc, const float *reice,
+                          int lthermal, int lsolar, int *nz_merged,
+                          const float **edir, const float **edn,
+                          const float **eup, const float **abso) {
+  if (ensure_python()) return 1;
+  Py_ssize_t nlev = (Py_ssize_t)(nz + 1) * nx * ny;
+  Py_ssize_t nlay = (Py_ssize_t)nz * nx * ny;
+  PyObject *pl = mk_f32_bytes(plev, nlev);
+  PyObject *tl = mk_f32_bytes(tlev, nlev);
+  PyObject *lw = lwc ? mk_f32_bytes(lwc, nlay) : (Py_INCREF(Py_None), Py_None);
+  PyObject *rl = reliq ? mk_f32_bytes(reliq, nlay) : (Py_INCREF(Py_None), Py_None);
+  PyObject *iw = iwc ? mk_f32_bytes(iwc, nlay) : (Py_INCREF(Py_None), Py_None);
+  PyObject *ri = reice ? mk_f32_bytes(reice, nlay) : (Py_INCREF(Py_None), Py_None);
+  PyObject *ret = PyObject_CallMethod(
+      g_mod, "specint", "iiiddddddssOOOOOOii", nz, nx, ny, dx, dy, phi0,
+      theta0, albedo_thermal, albedo_solar, specint, solver_name, pl, tl, lw,
+      rl, iw, ri, lthermal, lsolar);
+  Py_DECREF(pl);
+  Py_DECREF(tl);
+  Py_DECREF(lw);
+  Py_DECREF(rl);
+  Py_DECREF(iw);
+  Py_DECREF(ri);
+  if (ret == NULL) {
+    PyErr_Print();
+    return 1;
+  }
+  Py_XDECREF(g_specint_bufs);
+  g_specint_bufs = ret; /* tuple (nz_merged, edir, edn, eup, abso) */
+  *nz_merged = (int)PyLong_AsLong(PyTuple_GetItem(ret, 0));
+  const float **dsts[4];
+  dsts[0] = edir;
+  dsts[1] = edn;
+  dsts[2] = eup;
+  dsts[3] = abso;
+  for (int i = 0; i < 4; ++i) {
+    if (dsts[i] == NULL) continue;
+    *dsts[i] = (const float *)PyBytes_AsString(PyTuple_GetItem(ret, i + 1));
+  }
+  return 0;
+}
+
 int tenstream_tpu_destroy(int finalize_runtime) {
+  Py_XDECREF(g_specint_bufs);
+  g_specint_bufs = NULL;
   if (g_mod) {
     PyObject *ret = PyObject_CallMethod(g_mod, "destroy", NULL);
     if (ret) Py_DECREF(ret);
