@@ -775,6 +775,89 @@ def create_production_lut(
     return LUT(scheme, dir_axes, diff_axes, dir2dir, dir2diff, diff2diff), meta
 
 
+def compose_production_lut(
+    scheme: str,
+    donor_path: str,
+    diff_axes: Optional[LUTAxes] = None,
+    checkpoint_dir: Optional[str] = None,
+    round_photons: int = 5120,
+) -> Tuple[LUT, dict]:
+    """Staged delivery: compose a production table from the CONVERGED
+    diffuse checkpoints plus a donor LUT's direct tables.
+
+    The diffuse table is where the production axis density matters most
+    (it feeds every iteration of the diffuse solve); dir2dir is
+    regenerated CLOSED-FORM on the donor's direct axes (exact regardless
+    of donor quality, `boxmc.direct_transmission`), and the donor's
+    MC dir2diff provides the smooth scattering source.  Each table
+    carries its own axes, so mixed densities interpolate correctly by
+    construction.  Documented staged deviation: the full-density
+    adaptive dir2diff pass continues from its own checkpoints and
+    replaces the donor block when done.
+    """
+    from tenstream_tpu.boxmc.direct_transmission import dir2dir_table
+    from tenstream_tpu.boxmc.schemes import get_box_scheme
+
+    box = get_box_scheme(scheme)
+    diff_axes = diff_axes or production_axes(False)
+    fshape = tuple(len(a) for a in (diff_axes.tau, diff_axes.w0, diff_axes.aspect, diff_axes.g))
+    nent = int(np.prod(fshape))
+    reps, assign = _diff_orbits(scheme)
+    meta: dict = {"scheme": scheme, "composed_from": os.path.basename(donor_path)}
+
+    diff2diff = np.zeros(fshape + (box.ndiff, box.ndiff), np.float32)
+    rep_rows = {}
+    sems, rounds_all = [], []
+    for srep in reps:
+        ckp = os.path.join(checkpoint_dir, f"diff_src{srep}.npz")
+        ck = np.load(ckp)
+        mean, m2, rounds = ck["mean"], ck["m2"], ck["rounds"]
+        if mean.shape[0] != nent or not (rounds >= 1).all():
+            raise RuntimeError(
+                f"diffuse checkpoint {ckp} incomplete: "
+                f"{int((rounds >= 1).sum())}/{nent} entries have >=1 round"
+            )
+        n = np.maximum(rounds, 1)[:, None].astype(np.float64)
+        sems.append((np.sqrt(np.maximum(m2, 0.0) / n) / np.sqrt(n)).astype(np.float32))
+        rounds_all.append(rounds)
+        rep_rows[srep] = mean.astype(np.float32).reshape(fshape + (box.ndiff,))
+    for s in range(box.ndiff):
+        rep, g = assign[s]
+        diff2diff[..., s, :] = rep_rows[rep][..., np.asarray(g)]
+    sems_cat = np.concatenate(sems, 0)
+    rounds_cat = np.concatenate(rounds_all, 0)
+    meta["diff_sem_max"] = float(sems_cat.max())
+    meta["diff_sem_median"] = float(np.median(sems_cat))
+    meta["diff_rounds_mean"] = float(rounds_cat.mean())
+    meta["diff_photons_total"] = float(rounds_cat.sum() * round_photons)
+
+    donor = LUT.load(donor_path)
+    dir_axes = donor.dir_axes
+    dshape = tuple(len(a) for a in (dir_axes.tau, dir_axes.w0, dir_axes.aspect,
+                                    dir_axes.g, dir_axes.phi, dir_axes.theta))
+    dd = dir2dir_table(scheme, dir_axes.tau, dir_axes.aspect, dir_axes.phi, dir_axes.theta)
+    dir2dir = np.broadcast_to(dd[:, None, :, None], dshape + (box.ndir, box.ndir)).copy()
+    dir2diff = np.asarray(donor.dir2diff, np.float32).copy()
+
+    dir2dir, dir2diff, diff2diff = symmetrize_tables(
+        scheme, dir2dir, dir2diff, diff2diff, np.asarray(dir_axes.phi)
+    )
+    # same conservation clamp + gate as create_production_lut
+    budget = np.maximum(1.0 - dir2dir.sum(-1), 0.0)
+    s_sum = dir2diff.sum(-1)
+    scale = np.where(s_sum > budget, budget / np.maximum(s_sum, 1e-30), 1.0)
+    dir2diff = dir2diff * scale[..., None]
+    viol = float(max((dir2dir.sum(-1) + dir2diff.sum(-1) - 1.0).max(), 0.0))
+    violf = float(max((diff2diff.sum(-1) - 1.0).max(), 0.0))
+    meta["energy_violation_dir"] = viol
+    meta["energy_violation_diff"] = violf
+    if max(viol, violf) > 2.5e-2:
+        raise FloatingPointError(
+            f"energy creation in composed tables: dir {viol:.2e} diff {violf:.2e}"
+        )
+    return LUT(scheme, dir_axes, diff_axes, dir2dir, dir2diff, diff2diff), meta
+
+
 def lut_basename() -> str:
     return os.environ.get(
         "TENSTREAM_TPU_LUT_DIR", os.path.join(os.path.dirname(__file__), "..", "..", "data", "luts")

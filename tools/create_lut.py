@@ -49,6 +49,12 @@ def main():
                     "a higher cap — checkpoints make every pass incremental.")
     ap.add_argument("--dir-max-rounds", type=int, default=None,
                     help="production preset: cap for the dir2diff sources")
+    ap.add_argument("--compose-dir-from", default=None, metavar="DONOR_LUT",
+                    help="production preset: staged delivery — compose the "
+                    "table from the CONVERGED diffuse checkpoints plus this "
+                    "donor LUT's direct tables (dir2dir regenerated "
+                    "closed-form), instead of waiting for the full adaptive "
+                    "dir2diff pass")
     args = ap.parse_args()
 
     if args.scheme.startswith("wedge_"):
@@ -86,6 +92,17 @@ def main():
         base = args.out or lut_basename()
         out_path = os.path.join(base, f"LUT_{args.scheme}_production.npz")
         t0 = time.time()
+        if args.compose_dir_from:
+            from tenstream_tpu.optprop.lut import compose_production_lut
+
+            lut, meta = compose_production_lut(
+                args.scheme, args.compose_dir_from,
+                checkpoint_dir=os.path.join(base, f"ckpt_{args.scheme}_production"),
+            )
+            lut.save(out_path, meta=meta)
+            print(f"composed in {time.time()-t0:.1f}s -> {out_path}")
+            print("meta:", meta)
+            return
         kw = {}
         if args.max_rounds is not None:
             kw["max_rounds"] = args.max_rounds
