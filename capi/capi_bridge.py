@@ -103,12 +103,13 @@ def specint(nz, nx, ny, dx, dy, phi0, theta0, albedo_thermal, albedo_solar,
     from tenstream_tpu.pprts.sun import sundir_from_angles
     from tenstream_tpu.spectral.specint import specint_pprts
 
-    R_DRY = 287.058
+    from tenstream_tpu.core.types import R_DRY_AIR
+
     plev = _f32(plev_b, (nz + 1, nx, ny)).astype(np.float64)
     tlev = _f32(tlev_b, (nz + 1, nx, ny)).astype(np.float64)
     kw = {}
     rho = (0.5 * (plev[:-1] + plev[1:])) / (
-        R_DRY * 0.5 * (tlev[:-1] + tlev[1:]))  # (nz, nx, ny) [kg/m3]
+        R_DRY_AIR * 0.5 * (tlev[:-1] + tlev[1:]))  # (nz, nx, ny) [kg/m3]
     if lwc_b is not None:
         kw["lwc"] = _f32(lwc_b, (nz, nx, ny)) * rho  # g/kg -> g/m3
         if reliq_b is not None:
@@ -119,9 +120,14 @@ def specint(nz, nx, ny, dx, dy, phi0, theta0, albedo_thermal, albedo_solar,
             kw["reice"] = _f32(reice_b, (nz, nx, ny))
     atm = setup_tenstr_atm(plev, tlev, **kw)
 
-    key = ("specint_solver", atm.nlay, nx, ny, solver_name)
+    # key includes the FULL grid geometry: a matching (nlay, nx, ny) with
+    # drifted dz (evolving plev/tlev) or different dx/dy must rebuild the
+    # solver, or fluxes would be computed on stale layer thicknesses
+    dz_arr = np.asarray(atm.dz, np.float32)
+    key = ("specint_solver", atm.nlay, nx, ny, solver_name, dx, dy,
+           hash(dz_arr.tobytes()))
     if _state.get("specint_key") != key:
-        grid = Grid.create(atm.nlay, nx, ny, dx, dy, np.asarray(atm.dz, np.float32))
+        grid = Grid.create(atm.nlay, nx, ny, dx, dy, dz_arr)
         if solver_name in ("2str", "schwarzschild", "disort"):
             solver = PprtsSolver(grid, solver_type=solver_name)
         else:

@@ -778,8 +778,8 @@ def create_production_lut(
 def compose_production_lut(
     scheme: str,
     donor_path: str,
+    checkpoint_dir: str,
     diff_axes: Optional[LUTAxes] = None,
-    checkpoint_dir: Optional[str] = None,
     round_photons: int = 5120,
 ) -> Tuple[LUT, dict]:
     """Staged delivery: compose a production table from the CONVERGED

@@ -151,6 +151,9 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
         ))
 
     base = jax.random.PRNGKey(seed)
+    # small (test/mockup) grids fit one chunk — don't pad them up to the
+    # full chunk size (up to ~8x wasted tracing on cold cache builds)
+    chunk = min(chunk, n)
     Ts, Ss = [], []
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
