@@ -540,31 +540,47 @@ def _trace_adaptive(
         bad = (sem[:, cols] >= stddev_atol) | (relvar[:, cols] >= stddev_rtol)
         return bad.any(axis=1) | (rounds < min_rounds)
 
-    r = int(rounds.min())
-    while r < max_rounds:
+    # Rounds are traced in SLICES with a Welford merge + checkpoint after
+    # each one: production direct-table rounds run for hours, and a
+    # round-granular checkpoint would lose everything on interruption
+    # (observed: multi-hour dir rounds killed at a round boundary keep
+    # zero progress).  Per-slice keys fold the slice offset into the
+    # round key, so slices draw independent streams; a re-traced slice
+    # after an interruption merges extra independent samples, which the
+    # per-entry round counts account for.
+    save_every = 16384
+    while True:
         active = np.nonzero(_unconverged() & (rounds < max_rounds))[0]
         if active.size == 0:
             break
-        sub = entries[active]
-        T, S = _trace_entries(
-            scheme, sub, src, ldir, round_photons,
-            jax.random.fold_in(key, 7919 * r + src), chunk=chunk,
-            use_pallas=use_pallas, max_iter=max_iter,
-        )
-        c = np.concatenate([T, S], axis=-1).astype(np.float64) if ldir else S.astype(np.float64)
-        rounds[active] += 1
-        nr = rounds[active, None].astype(np.float64)
-        delta = c - mean[active]
-        mean[active] += delta / nr
-        m2[active] += delta * (c - mean[active])
-        r += 1
-        if checkpoint_path:
-            os.makedirs(os.path.dirname(os.path.abspath(checkpoint_path)), exist_ok=True)
-            np.savez_compressed(checkpoint_path, mean=mean, m2=m2, rounds=rounds)
+        r = int(rounds[active].min())
+        rkey = jax.random.fold_in(key, 7919 * r + src)
+        for lo in range(0, active.size, save_every):
+            sl = active[lo : lo + save_every]
+            T, S = _trace_entries(
+                scheme, entries[sl], src, ldir, round_photons,
+                jax.random.fold_in(rkey, lo), chunk=chunk,
+                use_pallas=use_pallas, max_iter=max_iter,
+            )
+            c = np.concatenate([T, S], axis=-1).astype(np.float64) if ldir else S.astype(np.float64)
+            rounds[sl] += 1
+            nr = rounds[sl, None].astype(np.float64)
+            delta = c - mean[sl]
+            mean[sl] += delta / nr
+            m2[sl] += delta * (c - mean[sl])
+            if checkpoint_path:
+                os.makedirs(os.path.dirname(os.path.abspath(checkpoint_path)), exist_ok=True)
+                np.savez_compressed(checkpoint_path, mean=mean, m2=m2, rounds=rounds)
+            if verbose and active.size > save_every:
+                print(
+                    f"[lut:{scheme}] {'dir' if ldir else 'diff'} src {src} "
+                    f"round {r + 1}: {min(lo + save_every, active.size)}"
+                    f"/{active.size} traced", flush=True,
+                )
         if verbose:
             print(
-                f"[lut:{scheme}] {'dir' if ldir else 'diff'} src {src} round {r}: "
-                f"{active.size}/{N} entries active", flush=True,
+                f"[lut:{scheme}] {'dir' if ldir else 'diff'} src {src} round "
+                f"{r + 1}: {active.size}/{N} entries active", flush=True,
             )
 
     n = np.maximum(rounds, 1)[:, None].astype(np.float64)
