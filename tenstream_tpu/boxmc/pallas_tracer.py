@@ -116,18 +116,22 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
     shape = (_ROWS, _LANES)
 
     def kernel(params_ref, out_ref):
+        # per-program (1, 1, 128) blocks: the current TPU runtime faults
+        # on program_id-based dynamic row reads/stores into full-array
+        # VMEM blocks (minimal repro confirmed), so each grid step gets
+        # its own param/out row via the BlockSpec index_map instead.
         pid = pl.program_id(0)
         lane = _lane_ids(shape)
 
-        tauz = params_ref[pid, 0]
-        w0 = params_ref[pid, 1]
-        aspect = params_ref[pid, 2]
-        g = params_ref[pid, 3]
-        phi_deg = params_ref[pid, 4]
-        theta_deg = params_ref[pid, 5]
-        seed_f = params_ref[pid, 6]
-        face_f = params_ref[pid, 7]  # source face id 0..5
-        zsign_f = params_ref[pid, 8]  # -1 / 0 / +1 hemisphere restriction
+        tauz = params_ref[0, 0, 0]
+        w0 = params_ref[0, 0, 1]
+        aspect = params_ref[0, 0, 2]
+        g = params_ref[0, 0, 3]
+        phi_deg = params_ref[0, 0, 4]
+        theta_deg = params_ref[0, 0, 5]
+        seed_f = params_ref[0, 0, 6]
+        face_f = params_ref[0, 0, 7]  # source face id 0..5
+        zsign_f = params_ref[0, 0, 8]  # -1 / 0 / +1 hemisphere restriction
 
         seed_i = seed_f.astype(jnp.int32)
         base = (seed_i * jnp.int32(747796405) + pid) | jnp.int32(1)
@@ -276,16 +280,16 @@ def _make_kernel(scheme_name: str, ldir: bool, max_iter: int):
 
         norm = jnp.float32(1.0 / (_ROWS * _LANES))
         # one reduction per destination, assembled into a lane-aligned
-        # (1, _OUT_COLS) row via one-hot column masks (no scalar stores)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, _OUT_COLS), 1)
-        row = jnp.zeros((1, _OUT_COLS), jnp.float32)
+        # (1, 1, _OUT_COLS) row via one-hot column masks (no scalar stores)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _OUT_COLS), 2)
+        row = jnp.zeros((1, 1, _OUT_COLS), jnp.float32)
         for d in range(ndir):
             t_d = jnp.sum(jnp.where(exit_code == d, weights, 0.0)) * norm
             row = row + jnp.where(col == d, t_d, 0.0)
         for s in range(ndiff):
             s_v = jnp.sum(jnp.where(exit_code == ndir + s, weights, 0.0)) * scale * norm
             row = row + jnp.where(col == ndir + s, s_v, 0.0)
-        out_ref[pl.ds(pid, 1), :] = row
+        out_ref[...] = row
 
     return kernel
 
@@ -298,11 +302,11 @@ def _run_pallas(params_padded, scheme_name, ldir, max_iter):
     out = pl.pallas_call(
         kernel,
         grid=(Bp,),
-        in_specs=[pl.BlockSpec((Bp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((Bp, _OUT_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, _OUT_COLS), jnp.float32),
-    )(params_padded)
-    return out
+        in_specs=[pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, _OUT_COLS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1, _OUT_COLS), jnp.float32),
+    )(params_padded.reshape(Bp, 1, 128))
+    return out.reshape(Bp, _OUT_COLS)
 
 
 def run_boxmc_pallas(
