@@ -142,7 +142,36 @@ def assemble_coeffs(
 
     want_dir = bool(need_dir and sun is not None and sun.sun_up)
     nz = tauz.shape[0]
-    if z_slab and 0 < z_slab < nz:
+
+    # Static 1-D layer partition: layers flagged l1d get ANALYTIC
+    # (eddington) blocks, so the expensive LUT gathers only need to run
+    # on the 3-D layers.  l1d is static per compiled config (it is part
+    # of the solve cache key), so when it arrives as a host array the
+    # z axis is restricted before the lookups; a contiguous 3-D block
+    # (the common LES case: fine layers below, coarse 1-D layers above)
+    # lowers to plain slice/update-slice ops.
+    idx3d = None
+    if isinstance(l1d, np.ndarray) and l1d.any() and not l1d.all():
+        idx3d = np.nonzero(~np.asarray(l1d, bool))[0]
+    contig = idx3d is not None and idx3d.size == idx3d[-1] - idx3d[0] + 1
+
+    def _restrict(x):
+        if idx3d is None:
+            return x
+        if contig:
+            return jax.lax.slice_in_dim(x, int(idx3d[0]), int(idx3d[-1]) + 1, axis=0)
+        return jnp.take(x, jnp.asarray(idx3d), axis=0)
+
+    def _embed(full, part):
+        """Write the 3-D-layer block into the full-z analytic field."""
+        if contig:
+            return jax.lax.dynamic_update_slice_in_dim(full, part, int(idx3d[0]), axis=2)
+        return full.at[:, :, jnp.asarray(idx3d)].set(part)
+
+    tz_r, w0_r, g_r, asp_r = (_restrict(x) for x in (tauz, w0, g, aspect))
+    nz_r = tz_r.shape[0]
+
+    if z_slab and 0 < z_slab < nz_r:
         if want_dir:
             def lookup(tz, w, gg, asp):
                 ff = opp.diff_coeffs(tz, w, gg, asp)
@@ -152,28 +181,34 @@ def assemble_coeffs(
                 )
                 return ff, dd, df
 
-            c_ff, dd, df = _zslab_map(lookup, (tauz, w0, g, aspect), nz, z_slab)
+            c_ff, dd, df = _zslab_map(lookup, (tz_r, w0_r, g_r, asp_r), nz_r, z_slab)
         else:
             (c_ff,) = _zslab_map(
                 lambda tz, w, gg, asp: (opp.diff_coeffs(tz, w, gg, asp),),
-                (tauz, w0, g, aspect), nz, z_slab,
+                (tz_r, w0_r, g_r, asp_r), nz_r, z_slab,
             )
     else:
-        c_ff = opp.diff_coeffs(tauz, w0, g, aspect)  # (s,d,Nz,Nx,Ny)
+        c_ff = opp.diff_coeffs(tz_r, w0_r, g_r, asp_r)  # (s,d,nz_r,Nx,Ny)
         if want_dir:
             dd, df = opp.dir_coeffs(
-                tauz, w0, g, aspect, sun.symmetry_phi, sun.theta,
+                tz_r, w0_r, g_r, asp_r, sun.symmetry_phi, sun.theta,
                 switch_x=sun.switch_x, switch_y=sun.switch_y,
             )
 
     dd1, df1, ff1 = _onedee_blocks(scheme, a11, a12, a13, a23, a33)
-    mask = jnp.asarray(l1d, bool)[None, None, :, None, None]
-    c_ff = jnp.where(mask, ff1, c_ff)
-
-    c_dd = c_df = None
-    if want_dir:
-        c_dd = jnp.where(mask, dd1, dd)
-        c_df = jnp.where(mask, df1, df)
+    if idx3d is not None:
+        c_ff = _embed(ff1, c_ff)
+        c_dd = c_df = None
+        if want_dir:
+            c_dd = _embed(dd1, dd)
+            c_df = _embed(df1, df)
+    else:
+        mask = jnp.asarray(l1d, bool)[None, None, :, None, None]
+        c_ff = jnp.where(mask, ff1, c_ff)
+        c_dd = c_df = None
+        if want_dir:
+            c_dd = jnp.where(mask, dd1, dd)
+            c_df = jnp.where(mask, df1, df)
 
     return CoeffFields(c_dd, c_df, c_ff), (a11, a12, a13, a23, a33)
 

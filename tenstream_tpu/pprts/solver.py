@@ -259,7 +259,9 @@ class PprtsSolver:
         grid = self.grid
         sun = self.sun
         mesh = getattr(self, "_mesh", None)
-        l1d = jnp.asarray(self._l1d)
+        # host array on purpose: assemble_coeffs statically restricts the
+        # LUT gathers to the 3-D layers when l1d is known at trace time
+        l1d = np.asarray(self._l1d, bool)
         # default: BiCGStab with the vertical-line preconditioner (the
         # analogue of the reference's FBCGS+ILU default); "richardson"
         # selects the adaptive-omega explicit iteration (parity with the
