@@ -55,10 +55,19 @@ def _i0(sigma, M):
 
 
 def _i1(sigma, M):
-    """int_0^M t exp(-sigma t) dt, stable for sigma*M -> 0."""
+    """int_0^M t exp(-sigma t) dt, stable for sigma*M -> 0.
+
+    The exact form 1-(1+x)e^{-x} cancels to x^2/2 - x^3/3 + ...; in f32
+    the subtraction leaves absolute noise ~2e-7, i.e. O(1) RELATIVE error
+    for x below ~1e-3 and tens of percent up to x ~ 1e-2 (measured: it
+    produced NEGATIVE per-class transmissions and 5x-wrong direct-beam
+    interaction budgets for thin oblique cells).  The series truncation
+    error is ~x^4/80 relative, so switching at x < 0.05 keeps both
+    branches below ~1e-5 relative.
+    """
     x = sigma * M
-    small = x < 1e-3
-    series = 0.5 * M * M * (1.0 - 2.0 * x / 3.0 + 0.25 * x * x)
+    small = x < 0.05
+    series = 0.5 * M * M * (1.0 - 2.0 * x / 3.0 + 0.25 * x * x - x * x * x / 15.0)
     s = jnp.maximum(sigma, 1e-30)
     exact = (1.0 - (1.0 + x) * jnp.exp(-x)) / (s * s)
     return jnp.where(small, series, exact)
@@ -76,13 +85,13 @@ def _class_probs(sigma, C, amax, bmax):
     tA = jnp.where(
         amax >= _BIG,
         0.0,
-        (_i0(sigma, Ma) - _i1(sigma, Ma) / bmax) / amax,
+        jnp.maximum((_i0(sigma, Ma) - _i1(sigma, Ma) / bmax) / amax, 0.0),
     )
     Mb = jnp.minimum(jnp.minimum(amax, bmax), C)
     tB = jnp.where(
         bmax >= _BIG,
         0.0,
-        (_i0(sigma, Mb) - _i1(sigma, Mb) / amax) / bmax,
+        jnp.maximum((_i0(sigma, Mb) - _i1(sigma, Mb) / amax) / bmax, 0.0),
     )
     return tC, tA, tB
 

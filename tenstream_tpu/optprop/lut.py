@@ -493,7 +493,7 @@ def _trace_adaptive(
     stddev_atol: float,
     stddev_rtol: float,
     round_photons: int = 5120,
-    min_rounds: int = 2,
+    min_rounds: int = 4,
     max_rounds: int = 64,
     chunk: int = 4096,
     use_pallas: Optional[bool] = None,
@@ -501,12 +501,25 @@ def _trace_adaptive(
     checkpoint_path: Optional[str] = None,
     verbose: bool = False,
     max_iter: int = 3000,
+    row_atol: float = 1e-4,
 ):
     """Per-entry adaptive Monte Carlo with the reference's convergence
     criterion: converged when for every coefficient the standard error of
     the mean is < atol AND (mean < max(atol, 1e-5) OR sem/mean < rtol)
     (reference `std_update`, `src/boxmc.F90:968-996`, tolerances
-    `src/optprop_parameters.F90:255-259`).
+    `src/optprop_parameters.F90:255-259`) — PLUS a row-sum criterion the
+    reference lacks: the SEM of the summed scattered energy (over
+    `conv_cols`) must satisfy sem_row < max(row_atol, rtol * row_sum).
+
+    The row criterion exists because the per-coefficient absolute atol
+    silently starves optically thin entries: their coefficients sit far
+    below atol, so 2 rounds "converge" them with O(100%) relative noise,
+    and a scene whose 3-D layers are thin (Rayleigh regime, tau ~ 1e-3
+    per layer) then reads almost pure noise from the table (measured:
+    a 5% TOA-flux error against a DISORT column truth on the reference
+    regression scene).  Thin entries are 1-2 step walks, so rows are
+    cheap to converge RELATIVELY; `row_atol` floors the cost for rows
+    whose total is itself negligible.
 
     Rounds of `round_photons` photons are traced per still-active entry;
     Welford statistics across rounds estimate the SEM.  `conv_cols`
@@ -525,6 +538,28 @@ def _trace_adaptive(
     m2 = np.zeros((N, width), np.float64)
     rounds = np.zeros((N,), np.int64)
 
+    if checkpoint_path:
+        # advisory lock: two processes adaptively tracing the same
+        # checkpoint silently lose each other's updates (last writer
+        # wins per slice) — observed when a CPU refinement pass and a
+        # TPU generation pass raced diff_src0.npz
+        lock = checkpoint_path + ".lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            try:
+                other = int(open(lock).read().strip() or 0)
+                os.kill(other, 0)  # raises if dead
+                raise RuntimeError(
+                    f"checkpoint {checkpoint_path} is locked by live pid {other}; "
+                    "refusing concurrent adaptive tracing (lost-update hazard)"
+                )
+            except (ProcessLookupError, ValueError, PermissionError):
+                with open(lock, "w") as f:  # stale lock: take it over
+                    f.write(str(os.getpid()))
+
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
         if ck["mean"].shape == mean.shape:
@@ -538,7 +573,18 @@ def _trace_adaptive(
         m = mean
         relvar = np.where(m >= max(stddev_atol, 1e-5), sem / np.maximum(m, 1e-30), 0.0)
         bad = (sem[:, cols] >= stddev_atol) | (relvar[:, cols] >= stddev_rtol)
-        return bad.any(axis=1) | (rounds < min_rounds)
+        # row-sum relative criterion (see docstring): multinomial dst
+        # splits are negatively correlated, so sum-of-variances is a
+        # conservative row-sem estimate
+        row = m[:, cols].sum(axis=1)
+        sem_row = np.sqrt((sem[:, cols] ** 2).sum(axis=1))
+        # Poisson floor: with O(1) photon counts the Welford sem is
+        # itself noisy (and exactly 0 for all-zero rows); the binomial
+        # rate sem sqrt(p/N) bounds it from first principles
+        nphot = np.maximum(rounds, 1).astype(np.float64) * round_photons
+        sem_row = np.maximum(sem_row, np.sqrt(np.maximum(row, 0.0) / nphot))
+        bad_row = sem_row >= np.maximum(row_atol, stddev_rtol * row)
+        return bad.any(axis=1) | bad_row | (rounds < min_rounds)
 
     # Rounds are traced in SLICES with a Welford merge + checkpoint after
     # each one: production direct-table rounds run for hours, and a
@@ -549,6 +595,34 @@ def _trace_adaptive(
     # after an interruption merges extra independent samples, which the
     # per-entry round counts account for.
     save_every = 16384
+    try:
+        _trace_adaptive_loop(
+            scheme, entries, src, ldir, key, mean, m2, rounds,
+            _unconverged, max_rounds, round_photons, chunk, use_pallas,
+            max_iter, checkpoint_path, verbose, save_every, N,
+        )
+    finally:
+        if checkpoint_path:
+            try:
+                os.remove(checkpoint_path + ".lock")
+            except OSError:
+                pass
+
+    n = np.maximum(rounds, 1)[:, None].astype(np.float64)
+    sem = np.sqrt(np.maximum(m2, 0.0) / n) / np.sqrt(n)
+    return (
+        mean[:, :nT].astype(np.float32),
+        mean[:, nT:].astype(np.float32),
+        rounds,
+        sem.astype(np.float32),
+    )
+
+
+def _trace_adaptive_loop(
+    scheme, entries, src, ldir, key, mean, m2, rounds, _unconverged,
+    max_rounds, round_photons, chunk, use_pallas, max_iter,
+    checkpoint_path, verbose, save_every, N,
+):
     while True:
         active = np.nonzero(_unconverged() & (rounds < max_rounds))[0]
         if active.size == 0:
@@ -582,15 +656,6 @@ def _trace_adaptive(
                 f"[lut:{scheme}] {'dir' if ldir else 'diff'} src {src} round "
                 f"{r + 1}: {active.size}/{N} entries active", flush=True,
             )
-
-    n = np.maximum(rounds, 1)[:, None].astype(np.float64)
-    sem = np.sqrt(np.maximum(m2, 0.0) / n) / np.sqrt(n)
-    return (
-        mean[:, :nT].astype(np.float32),
-        mean[:, nT:].astype(np.float32),
-        rounds,
-        sem.astype(np.float32),
-    )
 
 
 def _diff_orbits(scheme: str):
@@ -632,7 +697,10 @@ def create_production_lut(
     # the reference spends most of its photons) is exact here
     dir_stddev_atol: float = 3e-3,
     max_rounds: int = 64,
-    dir_max_rounds: int = 12,
+    # the row-sum criterion (see `_trace_adaptive`) needs up to ~40
+    # rounds near its tau ~ 2e-3 crossover; those entries are 1-2 step
+    # walks, so the raised cap costs minutes, not hours
+    dir_max_rounds: int = 64,
     round_photons: int = 5120,
     checkpoint_dir: Optional[str] = None,
     use_pallas: Optional[bool] = None,
