@@ -216,6 +216,25 @@ def main():
     dt = float(np.mean(times))
     cols_per_s = NX * NY / dt
 
+    # honesty diagnostic: a PERTURBED time-stepping regime (the cloud
+    # field advects ~one cell per step) so the warm starts have real
+    # work to do — an identical-scene re-solve converges at 0 iterations
+    # by construction and says nothing about per-step solve cost.
+    # Printed to stderr; the headline metric keeps the identical-scene
+    # semantics of earlier rounds for comparability.
+    t_pert = []
+    for k in range(max(2, REPS)):
+        lwc = np.roll(lwc, 1, axis=1 + (k % 2))
+        t0 = time.time()
+        res = run()
+        t_pert.append(time.time() - t0)
+    dt_p = float(np.mean(t_pert))
+    print(
+        f"# perturbed time-stepping (cloud advected 1 cell/step): "
+        f"{dt_p:.2f}s/solve = {NX * NY / dt_p:.1f} columns/s",
+        file=sys.stderr,
+    )
+
     edir, edn, eup, abso = map(np.asarray, res)
     assert np.isfinite(abso).all(), "non-finite absorption in bench result"
     print(

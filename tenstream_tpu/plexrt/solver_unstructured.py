@@ -59,6 +59,23 @@ class PlexrtSolverIcon:
         self._side_len = jnp.asarray(mesh.side_len, ireals)  # (nc, 3)
         self._phi_rot = jnp.asarray(mesh.phi_rot, ireals)  # (nc,)
 
+        # per-cell apex position in the cell-local frame (side 0 = AB on
+        # +x, unit AB): feeds the param-phi shape-aware azimuth map
+        # (`plexrt/param_phi.py`, reference `src/LUT_param_phi.F90`).
+        v = mesh.verts[mesh.tris]  # (nc, 3, 2)
+        ab = v[:, 1] - v[:, 0]
+        ac = v[:, 2] - v[:, 0]
+        L = np.maximum(np.linalg.norm(ab, axis=-1), 1e-30)
+        abh = ab / L[:, None]
+        cx = (ac * abh).sum(-1) / L
+        cy = (ac[:, 1] * abh[:, 0] - ac[:, 0] * abh[:, 1]) / L
+        self._wedge_C = (jnp.asarray(cx, ireals), jnp.asarray(np.maximum(cy, 1e-6), ireals))
+        # canonical table triangle: A=(0,0), B=(1,0), C=(1,1) (the
+        # structured split, `plexrt/wedge_boxmc.py` docstring)
+        self._use_param_phi = bool(
+            np.max(np.abs(cx - 1.0)) > 1e-3 or np.max(np.abs(cy - 1.0)) > 1e-3
+        )
+
     def set_angles(self, sundir) -> None:
         self._sundir = np.asarray(sundir, np.float64)
 
@@ -105,6 +122,17 @@ class PlexrtSolverIcon:
             # structured mesh (T1 = 180-degree rotation, looked up at
             # phi+180) pins the sign: +phi_rot.
             phi_cell = jnp.asarray(phi, ireals) + self._phi_rot[None, :]
+            if self._use_param_phi:
+                # shape-aware azimuth: evaluate the canonical table at
+                # the azimuth with the same param-phi coordinate, so sun
+                # alignment with a side face of the ACTUAL triangle maps
+                # to alignment with the matching canonical side face
+                from tenstream_tpu.plexrt.param_phi import canonical_azimuth_map
+
+                phi_cell = canonical_azimuth_map(
+                    phi_cell, self._wedge_C[0][None, :], self._wedge_C[1][None, :],
+                    1.0, 1.0,
+                )
             d2d, d2f = self.opp.dir_coeffs(tauz, w0, self._g, aspect, phi_cell, theta)
         return f2f, d2d, d2f
 
