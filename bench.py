@@ -251,19 +251,27 @@ def main():
     # niter < maxiter together with the stall counter.
     maxit = 3000
     worst = 0
+    stalled = []
     for key, sol in sorted(solver.solutions.items(), key=str):
         niter = np.atleast_1d(np.asarray(sol.niter_diff))
         resv = np.atleast_1d(np.asarray(sol.diff_res))
+        tolv = np.atleast_1d(np.asarray(sol.diff_tol))
         worst = max(worst, int(niter.max()))
+        if float(resv.max()) > 10.0 * max(float(tolv.max()), 1e-30):
+            stalled.append((key, float(resv.max()), float(tolv.max())))
         print(
             f"# chunk {key}: niter min/med/max = {int(niter.min())}/"
             f"{int(np.median(niter))}/{int(niter.max())}, "
-            f"res max = {float(resv.max()):.3e}",
+            f"res max = {float(resv.max()):.3e} (tol {float(tolv.max()):.3e})",
             file=sys.stderr,
         )
     assert worst < maxit, (
         f"diffuse solver hit maxiter={maxit} in at least one band "
         "(diverging or stagnating lane) — bench number would be dishonest"
+    )
+    assert not stalled, (
+        f"diffuse solver stalled above 10x tolerance in chunks {stalled} "
+        "— bench number would be dishonest"
     )
     print(json.dumps({
         "metric": "ecckd_lwsw_columns_per_s_per_chip",

@@ -162,12 +162,18 @@ def solve_richardson(
     max_iter: int = 3000,
     precond: bool = True,
     use_pallas: bool = False,
+    tol: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive-omega (preconditioned) Richardson iteration:
         x <- x + omega * M^-1 (b + S x - x)
     with M the vertical-line preconditioner (`vertical_line_solve`) or
     identity.  Returns (x, niter, omega_final); omega_final warm-starts
     the next solve of the same band (reference `solution%diff_sor_omega`).
+
+    `tol` overrides the default relative-to-initial stopping criterion
+    with an absolute residual-norm target — used when Richardson runs as
+    the convergence-guaranteed POLISH phase after a stalled BiCGStab
+    (where "relative to the stalled residual" would be meaningless).
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     use_line = precond and scheme.difftop.dof == 2
@@ -182,7 +188,10 @@ def solve_richardson(
 
     def cond(state):
         it, x, res, res0, *_ = state
-        unconverged = jnp.logical_and(res >= atol, res >= rtol * res0)
+        if tol is not None:
+            unconverged = res >= tol
+        else:
+            unconverged = jnp.logical_and(res >= atol, res >= rtol * res0)
         return jnp.logical_and(it < max_iter, unconverged)
 
     def body(state):
@@ -225,7 +234,7 @@ def solve_richardson(
     state = jax.lax.while_loop(cond, body, state)
     it, x, res, *_ = state
     omega_final = state[5]
-    return x, it, omega_final
+    return x, it, omega_final, res
 
 
 @partial(jax.jit, static_argnames=("scheme", "maxiter", "precond", "use_pallas"))
@@ -284,6 +293,7 @@ def solve_bicgstab(
     # cold solve at niter=8 with res 1e7); stall in [10, 30] never
     # triggered before the rtol exit on the bench scenes
     stall_limit = 30
+    restart_every = 10
 
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x)
@@ -297,7 +307,7 @@ def solve_bicgstab(
 
     def cond(state):
         (it, x, r, rhat, p, v, rho, alpha, omega,
-         best_x, best_res, stall) = state
+         best_x, best_r, best_res, stall) = state
         res = jnp.linalg.norm(r.ravel())
         return jnp.logical_and(
             it < maxiter,
@@ -306,7 +316,25 @@ def solve_bicgstab(
 
     def body(state):
         (it, x, r, rhat, p, v, rho, alpha, omega,
-         best_x, best_res, stall) = state
+         best_x, best_r, best_res, stall) = state
+
+        # plateau restart: BiCGStab can stall when rhat (= r0) loses its
+        # component along the remaining error (measured: a thermal
+        # box-cloud system plateaued at iteration ~3 and the stall exit
+        # returned ~0 fluxes while Richardson converged fine).  Every
+        # `restart_every` non-improving iterations, restart the Krylov
+        # process from the best iterate; the overall stall_limit exit
+        # then only fires after stall_limit/restart_every fruitless
+        # restarts.  best_r is carried so restarts cost no extra apply.
+        do_restart = (stall > 0) & (stall % restart_every == 0)
+        x = jnp.where(do_restart, best_x, x)
+        r = jnp.where(do_restart, best_r, r)
+        rhat = jnp.where(do_restart, best_r, rhat)
+        p = jnp.where(do_restart, jnp.zeros_like(p), p)
+        v = jnp.where(do_restart, jnp.zeros_like(v), v)
+        rho = jnp.where(do_restart, one, rho)
+        alpha = jnp.where(do_restart, one, alpha)
+        omega = jnp.where(do_restart, one, omega)
 
         rho_new = dot(rhat, r)
         # rho breakdown -> restart Krylov directions from current r
@@ -337,20 +365,21 @@ def solve_bicgstab(
         res_new = jnp.linalg.norm(r_new.ravel())
         improved = res_new < best_res * (1.0 - 1e-4)
         best_x = jnp.where(improved, x_new, best_x)
+        best_r = jnp.where(improved, r_new, best_r)
         best_res = jnp.where(improved, res_new, best_res)
         stall = jnp.where(improved & ok, 0, stall + 1)
 
         return (it + 1, x_new, r_new, rhat, p, v, rho_new, alpha,
-                omega_new, best_x, best_res, stall)
+                omega_new, best_x, best_r, best_res, stall)
 
     one = jnp.asarray(1.0, dtype)
     state = (
         jnp.asarray(0), x, r, rhat, jnp.zeros_like(b), jnp.zeros_like(b),
-        one, one, one, x, res0, jnp.asarray(0),
+        one, one, one, x, r, res0, jnp.asarray(0),
     )
     state = jax.lax.while_loop(cond, body, state)
     it, x, r = state[0], state[1], state[2]
-    best_x, best_res = state[9], state[10]
+    best_x, best_res = state[9], state[11]
     # return the best iterate seen (== final x when converged cleanly)
     final_res = jnp.linalg.norm(r.ravel())
     use_best = best_res < final_res

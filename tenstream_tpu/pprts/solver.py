@@ -53,10 +53,13 @@ def _twostream_guess(scheme, grid, kabs, ksca, g, albedo2d, mu0, incSolar,
     option, `src/pprts.F90:2536-2575`).
 
     Top stream dofs carry the per-column Edn/Eup split by hemisphere-bin
-    weight; side dofs carry the isotropic-radiance estimate
-    ((Edn+Eup)/2 through the side face area).  Returned in the solver's
-    internal [W] units.  Cost is one scan over nz — negligible next to
-    the Krylov iterations it saves on cold solves.
+    weight; for "zsplit" side groups the (dn, up) halves carry the
+    hemisphere flux of the matching vertical stream (measured on a
+    converged box-cloud solve: side-stream magnitudes track Edn/Eup to
+    ~5%, a 4.6x asymmetry the old isotropic (Edn+Eup)/2 guess missed —
+    badly enough that BiCGStab's stall exit fired on the guess's own
+    residual); other side styles keep the isotropic estimate.  Returned
+    in the solver's internal [W] units.  Cost is one scan over nz.
     """
     from tenstream_tpu.ops.twostream import delta_eddington_twostream
 
@@ -73,6 +76,9 @@ def _twostream_guess(scheme, grid, kabs, ksca, g, albedo2d, mu0, incSolar,
     wside = s.diffside_weights()
     nt, ns = s.difftop.dof, s.diffside.dof
     iso = 0.25 * (Edn[:-1] + Eup[:-1] + Edn[1:] + Eup[1:])  # (nz,...)
+    dn_lay = 0.5 * (Edn[:-1] + Edn[1:])
+    up_lay = 0.5 * (Eup[:-1] + Eup[1:])
+    zsplit = s._side_style() == "zsplit"
     zeros_lvl = jnp.zeros((1, grid.nx, grid.ny), ireals)
     rows = []
     for d in range(s.ndiff):
@@ -81,9 +87,16 @@ def _twostream_guess(scheme, grid, kabs, ksca, g, albedo2d, mu0, incSolar,
             rows.append(F * (grid.az * float(wtop[d])))
         else:
             a = grid.dy if d < nt + ns else grid.dx
-            w = float(wside[(d - nt) % ns])
+            j = (d - nt) % ns
+            w = float(wside[j])
             area = a * grid.dz3d / s.diffside.area_divider
-            rows.append(jnp.concatenate([iso * area * w, zeros_lvl], axis=0))
+            if zsplit:
+                # [o_dn, i_dn, o_up, i_up]: the first half tracks Eup,
+                # the second Edn (solution-pinned, see docstring)
+                F = up_lay if j < ns // 2 else dn_lay
+            else:
+                F = iso
+            rows.append(jnp.concatenate([F * area * w, zeros_lvl], axis=0))
     return jnp.stack(rows, axis=0)
 
 
@@ -99,6 +112,10 @@ class Solution(NamedTuple):
     # final diffuse-solve residual norm (reference residual history,
     # `src/pprts_base.F90:163-164`); 0.0 for the 1-D column solvers
     diff_res: Any = 0.0
+    # the convergence tolerance max(rtol*||b||, atol) the residual was
+    # checked against — lets callers detect a stalled/accepted-incomplete
+    # solve (diff_res >> diff_tol) without rebuilding b
+    diff_tol: Any = 0.0
     # for a combined solar+thermal request, the thermal sub-solution:
     # the reference REFUSES mixed solves in one call
     # (`src/pprts.F90:2523-2534`) because the x sun-mu tilt rescale of
@@ -404,6 +421,7 @@ class PprtsSolver:
                 cold = jnp.max(jnp.abs(x0)) == 0.0
                 x0 = jnp.where(cold, guess, x0)
 
+            tol = jnp.maximum(rtol * jnp.linalg.norm(b.ravel()), atol)
             if diff_solver == "bicgstab":
                 ediff, niter, res = solve_bicgstab(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
@@ -411,19 +429,33 @@ class PprtsSolver:
                     use_pallas=use_pallas_diff,
                 )
                 omega = omega0
+                # Convergence-guaranteed polish: BiCGStab's stall exit
+                # can surrender on thick-conservative-cloud systems
+                # (measured: res/tol ~ 2e4 on a Rayleigh band with an
+                # embedded conservative cloud) while adaptive-omega
+                # Richardson always contracts here.  The polish loop
+                # exits after ONE residual check when BiCGStab already
+                # converged, so the fast path pays a single operator
+                # apply; under vmap only the stalled lane iterates.
+                ediff, niter_p, omega, res_p = solve_richardson(
+                    scheme, coeffs.diff2diff, b, albedo2d, x0=ediff,
+                    omega0=omega0, rtol=rtol, atol=atol, max_iter=max_iter,
+                    precond=precond, use_pallas=use_pallas_diff, tol=tol,
+                )
+                niter = niter + niter_p
+                res = jnp.minimum(res, res_p)
             else:
-                ediff, niter, omega = solve_richardson(
+                ediff, niter, omega, res = solve_richardson(
                     scheme, coeffs.diff2diff, b, albedo2d, x0=x0,
                     omega0=omega0, rtol=rtol, atol=atol, max_iter=max_iter,
                     precond=precond, use_pallas=use_pallas_diff,
                 )
-                res = jnp.asarray(0.0, ireals)
 
             abso = calc_flx_div(
                 scheme, coeffs, ediff, grid.volumes(), l1d, kabs, grid.dz3d,
                 a11, a12, sun=sun, edir=edir, b_thermal=b_th,
             )
-            return edir, ediff, abso, niter, omega, res
+            return edir, ediff, abso, niter, omega, res, tol
 
         self._solve_cache[key] = run
         return run
@@ -469,13 +501,13 @@ class PprtsSolver:
 
         fn = self._solve_fn(lthermal and atm["planck"] is not None, lsolar, atm["planck_srfc"] is not None)
         with GLOBAL_LOG.scope("solve_pprts"):
-            edir, ediff, abso, niter, omega, res = fn(
+            edir, ediff, abso, niter, omega, res, tol = fn(
                 atm["kabs"], atm["ksca"], atm["g"], atm["albedo2d"],
                 atm["planck"] if atm["planck"] is not None else jnp.zeros((self.grid.nz + 1, self.grid.nx, self.grid.ny), ireals),
                 atm["planck_srfc"] if atm["planck_srfc"] is not None else jnp.zeros((self.grid.nx, self.grid.ny), ireals),
                 jnp.asarray(edirTOA, ireals), x0, omega0,
             )
-        sol = Solution(edir, ediff, abso, omega, niter, res)
+        sol = Solution(edir, ediff, abso, omega, niter, res, diff_tol=tol)
 
         # Reference `-accept_incomplete_solve` (`src/pprts_explicit.F90:
         # 134-136`): by default it ABORTS when the iteration hits max_it
@@ -483,15 +515,19 @@ class PprtsSolver:
         # check forces a device sync per solve, which would serialize the
         # async band pipeline); set accept_incomplete_solve=False for the
         # reference's strict behavior.  bench.py independently fails on
-        # any maxiter hit, so the regression class stays loud.
+        # any maxiter hit or stalled residual, so the regression class
+        # stays loud.
         if not self.options.get_bool("accept_incomplete_solve", True):
             max_it = self.options.get_int("ksp_max_it", 3000)
             niter_h = int(np.max(np.asarray(niter)))
-            if niter_h >= max_it:
+            res_h = float(np.max(np.asarray(res)))
+            tol_h = float(np.max(np.asarray(tol)))
+            if niter_h >= max_it or res_h > 10.0 * tol_h:
                 raise RuntimeError(
-                    f"diffuse solve hit max_it={max_it} without converging "
-                    f"(uid={uid!r}, final residual {float(np.max(np.asarray(res))):.3e}); "
-                    f"set accept_incomplete_solve=True to tolerate"
+                    f"diffuse solve did not converge (uid={uid!r}, "
+                    f"niter={niter_h}/max_it={max_it}, residual {res_h:.3e} "
+                    f"vs tol {tol_h:.3e}); the BiCGStab stall exit accepted "
+                    f"a bad iterate — set accept_incomplete_solve=True to tolerate"
                 )
 
         self.solutions[uid] = self._maybe_compress(sol)
@@ -504,7 +540,7 @@ class PprtsSolver:
         if not self.options.get_bool("pprts_compress_solutions", False):
             return sol
         cast = lambda a: None if a is None else a.astype(jnp.bfloat16)
-        return Solution(cast(sol.edir), cast(sol.ediff), cast(sol.abso), sol.diff_omega, sol.niter_diff, sol.diff_res)
+        return sol._replace(edir=cast(sol.edir), ediff=cast(sol.ediff), abso=cast(sol.abso))
 
     # ------------------------------------------------------------------
     def _solve_1d(self, lthermal, lsolar, edirTOA, uid):

@@ -371,7 +371,7 @@ def specint_pprts(
             kabs_b, ksca_b, g_b = batched_fields(
                 sp, "sw" if solar else "lw", gsel=slice(lo, hi)
             )
-            edir_b, ediff_b, abso_b, niter_b, om_b, res_b = vfn(
+            edir_b, ediff_b, abso_b, niter_b, om_b, res_b, tol_b = vfn(
                 kabs_b, ksca_b, g_b, a2d,
                 planck_b, psrfc_b, toa_b, x0, om0,
             )
@@ -401,7 +401,7 @@ def specint_pprts(
             else:
                 x_keep = ediff_b
             solver.solutions[cache_key] = Solution(
-                None, x_keep, None, om_b, niter_b, res_b
+                None, x_keep, None, om_b, niter_b, res_b, diff_tol=tol_b
             )
 
             # accumulate in W, convert at the end
