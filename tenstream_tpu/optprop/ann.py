@@ -54,33 +54,77 @@ def _features(tau, w0, aspect, g, phi=None, theta=None):
     return jnp.stack([jnp.broadcast_to(v, jnp.shape(f[0])) for v in f], axis=-1)
 
 
-def _train(key, X, Y, hidden=(64, 64), epochs=400, lr=3e-3):
+def _train(key, X, Y, hidden=(64, 64), epochs=400, lr=3e-3, batch=None):
+    """Full-batch adam when `batch` is None (small mockup tables in
+    tests); shuffled minibatch adam + cosine decay for production-size
+    tables (hundreds of thousands of rows)."""
     import optax
 
     sizes = [X.shape[-1], *hidden, Y.shape[-1]]
-    params = _mlp_init(key, sizes)
-    opt = optax.adam(lr)
+    key, kinit = jax.random.split(key)
+    params = _mlp_init(kinit, sizes)
+    n = X.shape[0]
+
+    if batch is None or batch >= n:
+        opt = optax.adam(lr)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            def loss(p):
+                return jnp.mean((_mlp_apply(p, X) - Y) ** 2)
+
+            l, grads = jax.value_and_grad(loss)(params)
+            updates, state2 = opt.update(grads, state)
+            return optax.apply_updates(params, updates), state2, l
+
+        for _ in range(epochs):
+            params, state, l = step(params, state)
+        return params, float(l)
+
+    steps_per_epoch = n // batch
+    sched = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch, alpha=1e-2)
+    opt = optax.adam(sched)
     state = opt.init(params)
 
     @jax.jit
-    def step(params, state):
-        def loss(p):
-            return jnp.mean((_mlp_apply(p, X) - Y) ** 2)
+    def epoch_step(params, state, key):
+        perm = jax.random.permutation(key, n)
 
-        l, grads = jax.value_and_grad(loss)(params)
-        updates, state2 = opt.update(grads, state)
-        return optax.apply_updates(params, updates), state2, l
+        def body(carry, idx):
+            params, state = carry
+            xb, yb = X[idx], Y[idx]
+
+            def loss(p):
+                return jnp.mean((_mlp_apply(p, xb) - yb) ** 2)
+
+            l, grads = jax.value_and_grad(loss)(params)
+            updates, state2 = opt.update(grads, state)
+            return (optax.apply_updates(params, updates), state2), l
+
+        idxs = perm[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
+        (params, state), ls = jax.lax.scan(body, (params, state), idxs)
+        return params, state, ls.mean()
 
     for _ in range(epochs):
-        params, state, l = step(params, state)
+        key, ke = jax.random.split(key)
+        params, state, l = epoch_step(params, state, ke)
     return params, float(l)
 
 
 class AnnOptProp:
-    """MLP coefficient backend trained on a LUT."""
+    """MLP coefficient backend trained on a LUT.
 
-    def __init__(self, lut: LUT, scheme: Optional[StreamScheme] = None,
-                 hidden=(64, 64), epochs=400, seed=0):
+    Trained nets persist via `save`/`load` (the reference ships trained
+    nets as netCDF consumed by `ANN_init`, `src/optprop_ANN.F90:178-189`;
+    training happens offline in `misc/LUT_to_ANN.py` — here
+    `tools/train_ann.py`)."""
+
+    def __init__(self, lut: Optional[LUT], scheme: Optional[StreamScheme] = None,
+                 hidden=(64, 64), epochs=400, seed=0, batch=None):
+        if lut is None:  # constructed by load()
+            self.scheme = scheme
+            return
         self.scheme = scheme or get_scheme(lut.scheme)
         nd, nf = self.scheme.ndir, self.scheme.ndiff
         key = jax.random.PRNGKey(seed)
@@ -99,7 +143,7 @@ class AnnOptProp:
             axis=-1,
         ).astype(np.float32)
         self._dir_params, self.dir_loss = _train(
-            k1, jnp.asarray(Xd), jnp.asarray(Yd), hidden, epochs
+            k1, jnp.asarray(Xd), jnp.asarray(Yd), hidden, epochs, batch=batch
         )
 
         fa = lut.diff_axes
@@ -107,8 +151,36 @@ class AnnOptProp:
         Xf = np.asarray(_features(*[jnp.asarray(gr.ravel(), ireals) for gr in grids]))
         Yf = lut.diff2diff.reshape(-1, nf * nf).astype(np.float32)
         self._diff_params, self.diff_loss = _train(
-            k2, jnp.asarray(Xf), jnp.asarray(Yf), hidden, epochs
+            k2, jnp.asarray(Xf), jnp.asarray(Yf), hidden, epochs, batch=batch
         )
+
+    # persistence ------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Write trained params to npz (layer arrays + scheme + losses)."""
+        arrs = {"scheme": np.asarray(self.scheme.name)}
+        for tag, params, loss in (
+            ("dir", self._dir_params, self.dir_loss),
+            ("diff", self._diff_params, self.diff_loss),
+        ):
+            arrs[f"{tag}_nlayers"] = np.asarray(len(params))
+            arrs[f"{tag}_loss"] = np.asarray(loss)
+            for i, (w, b) in enumerate(params):
+                arrs[f"{tag}_w{i}"] = np.asarray(w)
+                arrs[f"{tag}_b{i}"] = np.asarray(b)
+        np.savez_compressed(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "AnnOptProp":
+        z = np.load(path)
+        self = cls(None, scheme=get_scheme(str(z["scheme"])))
+        for tag in ("dir", "diff"):
+            params = [
+                (jnp.asarray(z[f"{tag}_w{i}"]), jnp.asarray(z[f"{tag}_b{i}"]))
+                for i in range(int(z[f"{tag}_nlayers"]))
+            ]
+            setattr(self, f"_{tag}_params", params)
+            setattr(self, f"{tag}_loss", float(z[f"{tag}_loss"]))
+        return self
 
     # facade-compatible API -------------------------------------------------
     def dir_coeffs(self, tauz, w0, g, aspect, phi_deg, theta_deg,

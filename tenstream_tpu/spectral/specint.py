@@ -347,11 +347,13 @@ def specint_pprts(
                     _acc_abso(cached[2], solar)
                     solver._spectral_skips = getattr(solver, "_spectral_skips", 0) + 1
                     continue
-            x0 = (
-                prev.ediff.astype(ireals)
-                if prev is not None and prev.ediff is not None
-                else jnp.zeros((nb, scheme.ndiff, nz + 1, nx, ny), ireals)
-            )
+            if prev is not None and prev.ediff is not None:
+                # np.asarray is a no-copy view for host-cached f32 states
+                x0 = (np.asarray(prev.ediff, dtype=ireals)
+                      if isinstance(prev.ediff, np.ndarray)
+                      else prev.ediff.astype(ireals))
+            else:
+                x0 = jnp.zeros((nb, scheme.ndiff, nz + 1, nx, ny), ireals)
             om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
 
             if has_planck:
@@ -387,22 +389,42 @@ def specint_pprts(
             # of an unchanged band converge in 0 iterations; bf16
             # quantization of near-converged states measurably re-burns
             # iterations every re-solve: 651 vs 1435 cols/s on the 64^2
-            # bench).  "auto" (default) picks f32 while the whole-run
-            # cache stays small, degrades to bf16 and then off.
+            # bench).  "host" keeps the exact f32 states in HOST memory
+            # instead (no HBM cost; one PCIe round-trip per chunk per
+            # solve) — the mode that makes warm starts viable at
+            # BASELINE scale (256^2x128 is ~22 GB of cache, far beyond
+            # HBM but trivial in host RAM).  "auto" (default) picks
+            # device-f32 while the whole-run cache stays small, else
+            # host.
             cache_mode = solver.options.get("specint_cache", "auto")
             if cache_mode == "auto":
                 f32_bytes_total = 2 * ngpt * scheme.ndiff * (nz + 1) * nx * ny * 4
-                cache_mode = ("f32" if f32_bytes_total < 1.5e9
-                              else "bf16" if f32_bytes_total < 4e9 else "off")
-            if cache_mode == "off":
-                x_keep = None
-            elif cache_mode == "bf16":
-                x_keep = ediff_b.astype(jnp.bfloat16)
+                cache_mode = "f32" if f32_bytes_total < 1.5e9 else "host"
+            if cache_mode == "host":
+                # defer the device->host materialization by one chunk so
+                # the PCIe copy overlaps the next chunk's device compute
+                try:
+                    ediff_b.copy_to_host_async()
+                except Exception:
+                    pass
+                _host_pending.append(
+                    (cache_key, ediff_b, om_b, niter_b, res_b, tol_b)
+                )
+                if len(_host_pending) > 1:
+                    k0, e0, o0, n0, r0, t0 = _host_pending.pop(0)
+                    solver.solutions[k0] = Solution(
+                        None, np.asarray(e0), None, o0, n0, r0, diff_tol=t0
+                    )
             else:
-                x_keep = ediff_b
-            solver.solutions[cache_key] = Solution(
-                None, x_keep, None, om_b, niter_b, res_b, diff_tol=tol_b
-            )
+                if cache_mode == "off":
+                    x_keep = None
+                elif cache_mode == "bf16":
+                    x_keep = ediff_b.astype(jnp.bfloat16)
+                else:
+                    x_keep = ediff_b
+                solver.solutions[cache_key] = Solution(
+                    None, x_keep, None, om_b, niter_b, res_b, diff_tol=tol_b
+                )
 
             # accumulate in W, convert at the end
             edir_contrib = None if edir_b is None else edir_b.sum(0)
@@ -430,6 +452,15 @@ def specint_pprts(
                     for c in (edir_contrib, ediff_contrib, abso_contrib)
                 )
 
+        from tenstream_tpu.pprts.solver import Solution
+
+        for k0, e0, o0, n0, r0, t0 in _host_pending:
+            solver.solutions[k0] = Solution(
+                None, np.asarray(e0), None, o0, n0, r0, diff_tol=t0
+            )
+        _host_pending.clear()
+
+    _host_pending = []
     ediff_acc_solar = jnp.zeros((scheme.ndiff, nz + 1, nx, ny), ireals)
     ediff_acc_thermal = jnp.zeros_like(ediff_acc_solar)
     abso_solar = jnp.zeros((nz, nx, ny), ireals)
