@@ -81,7 +81,8 @@ def run_on(devices, nx_per, ny_per, nz=16, reps=3, use_shard_map=True):
     x0 = jnp.zeros((solver.scheme.ndiff, nz + 1, nx, ny), ireals)
     args = [jnp.asarray(ka), jnp.asarray(ks), jnp.asarray(g), alb,
             jnp.zeros((nz + 1, nx, ny), ireals), jnp.zeros((nx, ny), ireals),
-            jnp.asarray(1000.0, ireals), x0, jnp.asarray(1.0, ireals)]
+            jnp.asarray(1000.0, ireals), x0, jnp.asarray(1.0, ireals),
+            jnp.zeros((nz, nx, ny), ireals)]
     args[0], args[1], args[2], args[3], args[7] = shard_fields(
         mesh, args[0], args[1], args[2], args[3], args[7]
     )

@@ -30,6 +30,11 @@ class Buildings:
     solid: jnp.ndarray  # (Nz, Nx, Ny) bool: cell is inside a building
     albedo: float = 0.2  # building face albedo
     planck: Optional[jnp.ndarray] = None  # (Nz, Nx, Ny) face Planck [W/m2/sr]
+    # face temperature [K] (scalar or (Nz, Nx, Ny)); consumed by specint,
+    # which derives the per-g-point Planck emission from it (reference
+    # `opt_buildings%temp` -> `ecckd_planck` per band,
+    # `ecckd/ecckd_pprts.F90:348-412`)
+    temp: Optional[jnp.ndarray] = None
 
     def exposed_top(self):
         """Faces where radiation travelling down hits a roof: cell solid,
@@ -65,6 +70,92 @@ def mask_coeffs(coeffs: CoeffFields, b: Buildings) -> CoeffFields:
     return CoeffFields(dd, df, ff)
 
 
+def face_masks(b: Buildings):
+    """Exposed-face boolean masks keyed by face kind."""
+    return {
+        "roof": b.exposed_top(),
+        "floor": b.exposed_bottom(),
+        "wall_x_low": b.exposed_side(1, True),
+        "wall_x_high": b.exposed_side(1, False),
+        "wall_y_low": b.exposed_side(2, True),
+        "wall_y_high": b.exposed_side(2, False),
+    }
+
+
+def building_incoming_from_fields(
+    scheme: StreamScheme,
+    b: Buildings,
+    ediff: jnp.ndarray,  # (ndiff, Nz+1, Nx, Ny) [W], mu-scaled if solar
+    edir: Optional[jnp.ndarray],  # (ndir, Nz+1, Nx, Ny) [W] or None
+    az: float,
+    dx: float,
+    dy: float,
+    dz3d: jnp.ndarray,
+    xinc: int = 1,
+    yinc: int = 1,
+):
+    """Per-face direct and total incoming radiation [W/m2] on exposed
+    building faces from raw stream-resolved [W] flux fields (reference
+    `fill_buildings_arr`, `src/pprts.F90:5986-6249`).  Returns
+    (edir_faces, incoming) dicts of UNMASKED (Nz, Nx, Ny) fields keyed by
+    face kind; linear in the fields, so spectrally accumulated inputs
+    yield spectrally accumulated face fluxes."""
+    nt = scheme.difftop.dof
+    ntd = scheme.dirtop.dof
+    inward = scheme.diff_inward()
+    axis = scheme.diff_axis()
+    dir_axis = scheme.dir_axis()
+    shape = dz3d.shape
+    wall_area = {
+        "wall_x_low": dy * dz3d, "wall_x_high": dy * dz3d,
+        "wall_y_low": dx * dz3d, "wall_y_high": dx * dz3d,
+    }
+
+    kinds = list(face_masks(b).keys())
+    edir_f = {k: jnp.zeros(shape, ireals) for k in kinds}
+    incoming = {k: jnp.zeros(shape, ireals) for k in kinds}
+
+    # roofs/floors: vertical streams at the z-face of the solid cell
+    edn_W = sum(ediff[d] for d in range(nt) if inward[d])
+    eup_W = sum(ediff[d] for d in range(nt) if not inward[d])
+    incoming["roof"] = incoming["roof"] + edn_W[:-1] / az
+    incoming["floor"] = incoming["floor"] + eup_W[1:] / az
+    if edir is not None:
+        ed = edir[:ntd].sum(0)
+        edir_f["roof"] = edir_f["roof"] + ed[:-1] / az
+        incoming["roof"] = incoming["roof"] + ed[:-1] / az
+
+    # walls: side streams arriving at the exposed vertical faces.  Side
+    # fields store x-face i at column index i, layer slot k.
+    for ax, (klo, khi) in ((1, ("wall_x_low", "wall_x_high")),
+                           (2, ("wall_y_low", "wall_y_high"))):
+        into_pos = sum(  # moving +axis, hits the low wall (face i)
+            ediff[d, :-1] for d in range(nt, scheme.ndiff)
+            if axis[d] == ax and inward[d]
+        )
+        into_neg = sum(  # moving -axis, hits the high wall (face i+1)
+            ediff[d, :-1] for d in range(nt, scheme.ndiff)
+            if axis[d] == ax and not inward[d]
+        )
+        incoming[klo] = incoming[klo] + into_pos / wall_area[klo]
+        incoming[khi] = incoming[khi] + jnp.roll(into_neg, -1, axis=ax) / wall_area[khi]
+        if edir is not None and scheme.dirside.dof > 0:
+            beam_pos = (xinc == 1) if ax == 1 else (yinc == 1)
+            side_dir = sum(
+                edir[d, :-1] for d in range(scheme.ndir) if dir_axis[d] == ax
+            )
+            if beam_pos:
+                v = side_dir / wall_area[klo]
+                edir_f[klo] = edir_f[klo] + v
+                incoming[klo] = incoming[klo] + v
+            else:
+                v = jnp.roll(side_dir, -1, axis=ax) / wall_area[khi]
+                edir_f[khi] = edir_f[khi] + v
+                incoming[khi] = incoming[khi] + v
+
+    return edir_f, incoming
+
+
 def building_sources(
     scheme: StreamScheme,
     b: Buildings,
@@ -75,12 +166,17 @@ def building_sources(
     dy: float = 0.0,
     xinc: int = 1,
     yinc: int = 1,
+    planck: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Diffuse source from building faces: reflection of the direct beam
     and thermal emission (reference `set_buildings_reflection/emission`,
     `src/pprts.F90:4989-5082`) — roofs plus, when the scheme carries
     side streams and `dz3d` is given, the exposed vertical walls.
+
+    `planck` overrides `b.planck` (traced per-band emission from specint;
+    pass None to statically disable emission).
     """
+    b_planck = planck if planck is not None else b.planck
     inward = scheme.diff_inward()
     ntd = scheme.dirtop.dof
     axis = scheme.diff_axis()
@@ -99,10 +195,10 @@ def building_sources(
             contrib = contrib + jnp.where(
                 roof, edir_dn * b.albedo * float(wtop[d]), 0.0
             )
-        if b.planck is not None:
+        if b_planck is not None:
             contrib = contrib + jnp.where(
                 roof,
-                b.planck * (1.0 - b.albedo) * PI * az * float(wtop[d]),
+                b_planck * (1.0 - b.albedo) * PI * az * float(wtop[d]),
                 0.0,
             )
         # upward dof at face k (top of the solid cell layer k)
@@ -136,9 +232,9 @@ def building_sources(
                 high_wall, jnp.roll(side_dir, -1, axis=ax), 0.0
             )
         emit = None
-        if b.planck is not None:
+        if b_planck is not None:
             a_wall = wall_area[ax] * dz3d
-            emit = b.planck * (1.0 - b.albedo) * PI * a_wall
+            emit = b_planck * (1.0 - b.albedo) * PI * a_wall
         for d in range(nt, scheme.ndiff):
             if axis[d] != ax:
                 continue

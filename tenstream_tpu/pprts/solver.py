@@ -266,6 +266,9 @@ class PprtsSolver:
             self.options.get_bool("diff_guess_2str", False),
             self.options.get_int("pprts_assembly_z_slab", -1),
             self._buildings is not None,
+            self._buildings is not None
+            and (self._buildings.planck is not None
+                 or (lthermal and self._buildings.temp is not None)),
             id(getattr(self, "_mesh", None)),
         )
         if key in self._solve_cache:
@@ -303,6 +306,14 @@ class PprtsSolver:
         guess_2str = self.options.get_bool("diff_guess_2str", False)
 
         buildings = self._buildings
+        # static emission switch: the per-band Planck value itself is a
+        # traced input (`planck_bldg`) so specint can vary it per g-point
+        # without retracing (reference sets `spec_buildings%planck` per
+        # band, `ecckd/ecckd_pprts.F90:404-412`)
+        bldg_emit = buildings is not None and (
+            buildings.planck is not None
+            or (lthermal and buildings.temp is not None)
+        )
         # bf16 coefficient compression halves the HBM traffic of the
         # diffuse iteration, but near-conservative transmissions
         # (a11 = 1 - eps, optically thin layers) lose eps to the 8-bit
@@ -328,7 +339,8 @@ class PprtsSolver:
         z_slab = self.options.get_int("pprts_assembly_z_slab", auto_slab)
 
         @jax.jit
-        def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0, omega0):
+        def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0,
+                omega0, planck_bldg):
             coeffs, (a11, a12, a13, a23, a33) = assemble_coeffs(
                 scheme, opp, kabs, ksca, g, grid.dz3d, grid.dx, l1d,
                 sun, need_dir=lsolar, z_slab=z_slab,
@@ -397,6 +409,7 @@ class PprtsSolver:
                     dz3d=grid.dz3d, dx=grid.dx, dy=grid.dy,
                     xinc=sun.xinc if (sun is not None and lsolar) else 1,
                     yinc=sun.yinc if (sun is not None and lsolar) else 1,
+                    planck=planck_bldg if bldg_emit else None,
                 )
 
             b_th = None
@@ -499,13 +512,19 @@ class PprtsSolver:
         )
         omega0 = prev.diff_omega if prev is not None else jnp.asarray(1.0, ireals)
 
+        bld = self._buildings
+        planck_bldg = (
+            jnp.asarray(bld.planck, ireals)
+            if bld is not None and bld.planck is not None
+            else jnp.zeros((self.grid.nz, self.grid.nx, self.grid.ny), ireals)
+        )
         fn = self._solve_fn(lthermal and atm["planck"] is not None, lsolar, atm["planck_srfc"] is not None)
         with GLOBAL_LOG.scope("solve_pprts"):
             edir, ediff, abso, niter, omega, res, tol = fn(
                 atm["kabs"], atm["ksca"], atm["g"], atm["albedo2d"],
                 atm["planck"] if atm["planck"] is not None else jnp.zeros((self.grid.nz + 1, self.grid.nx, self.grid.ny), ireals),
                 atm["planck_srfc"] if atm["planck_srfc"] is not None else jnp.zeros((self.grid.nx, self.grid.ny), ireals),
-                jnp.asarray(edirTOA, ireals), x0, omega0,
+                jnp.asarray(edirTOA, ireals), x0, omega0, planck_bldg,
             )
         sol = Solution(edir, ediff, abso, omega, niter, res, diff_tol=tol)
 
@@ -742,82 +761,40 @@ class PprtsSolver:
         """
         if self._buildings is None:
             raise RuntimeError("no buildings attached (set_buildings)")
+        from tenstream_tpu.pprts.buildings import (
+            building_incoming_from_fields,
+            face_masks,
+        )
+
         b = self._buildings
         s = self.scheme
         g = self.grid
         sol = self.solutions[uid]
-        nt = s.difftop.dof
-        ntd = s.dirtop.dof
-        inward = s.diff_inward()
-        axis = s.diff_axis()
-        dir_axis = s.dir_axis()
 
-        masks = {
-            "roof": b.exposed_top(),
-            "floor": b.exposed_bottom(),
-            "wall_x_low": b.exposed_side(1, True),
-            "wall_x_high": b.exposed_side(1, False),
-            "wall_y_low": b.exposed_side(2, True),
-            "wall_y_high": b.exposed_side(2, False),
-        }
-        wall_area = {
-            "wall_x_low": g.dy * g.dz3d, "wall_x_high": g.dy * g.dz3d,
-            "wall_y_low": g.dx * g.dz3d, "wall_y_high": g.dx * g.dz3d,
-        }
-
-        parts = [(sol, True)]
+        parts = [sol]
         if sol.thermal is not None:
-            parts.append((sol.thermal, False))
+            parts.append(sol.thermal)
 
-        edir_f = {k: jnp.zeros(g.dz3d.shape, ireals) for k in masks}
-        incoming = {k: jnp.zeros(g.dz3d.shape, ireals) for k in masks}
-
-        for part, _ in parts:
+        kinds = list(face_masks(b).keys())
+        edir_f = {k: jnp.zeros(g.dz3d.shape, ireals) for k in kinds}
+        incoming = {k: jnp.zeros(g.dz3d.shape, ireals) for k in kinds}
+        for part in parts:
             mu = self.sun.mu if part.edir is not None else 1.0
-            ediff = part.ediff.astype(ireals) * mu
-            edir = None if part.edir is None else part.edir.astype(ireals) * mu
-
-            # roofs: downward radiation arriving at z-face k of solid cell k
-            edn_W = sum(ediff[d] for d in range(nt) if inward[d])
-            eup_W = sum(ediff[d] for d in range(nt) if not inward[d])
-            incoming["roof"] = incoming["roof"] + edn_W[:-1] / g.az
-            incoming["floor"] = incoming["floor"] + eup_W[1:] / g.az
-            if edir is not None:
-                ed = edir[:ntd].sum(0)
-                edir_f["roof"] = edir_f["roof"] + ed[:-1] / g.az
-                incoming["roof"] = incoming["roof"] + ed[:-1] / g.az
-
-            # walls: side streams arriving at the exposed vertical faces.
-            # Side fields store x-face i at column index i, layer slot k.
-            for ax, (klo, khi) in ((1, ("wall_x_low", "wall_x_high")),
-                                   (2, ("wall_y_low", "wall_y_high"))):
-                into_pos = sum(  # moving +axis, hits the low wall (face i)
-                    ediff[d, :-1] for d in range(nt, s.ndiff)
-                    if axis[d] == ax and inward[d]
-                )
-                into_neg = sum(  # moving -axis, hits the high wall (face i+1)
-                    ediff[d, :-1] for d in range(nt, s.ndiff)
-                    if axis[d] == ax and not inward[d]
-                )
-                incoming[klo] = incoming[klo] + into_pos / wall_area[klo]
-                incoming[khi] = incoming[khi] + jnp.roll(into_neg, -1, axis=ax) / wall_area[khi]
-                if edir is not None and s.dirside.dof > 0:
-                    beam_pos = (self.sun.xinc == 1) if ax == 1 else (self.sun.yinc == 1)
-                    side_dir = sum(
-                        edir[d, :-1] for d in range(s.ndir) if dir_axis[d] == ax
-                    )
-                    if beam_pos:
-                        v = side_dir / wall_area[klo]
-                        edir_f[klo] = edir_f[klo] + v
-                        incoming[klo] = incoming[klo] + v
-                    else:
-                        v = jnp.roll(side_dir, -1, axis=ax) / wall_area[khi]
-                        edir_f[khi] = edir_f[khi] + v
-                        incoming[khi] = incoming[khi] + v
+            ef, inc = building_incoming_from_fields(
+                s, b,
+                part.ediff.astype(ireals) * mu,
+                None if part.edir is None else part.edir.astype(ireals) * mu,
+                g.az, g.dx, g.dy, g.dz3d,
+                xinc=self.sun.xinc if self.sun is not None else 1,
+                yinc=self.sun.yinc if self.sun is not None else 1,
+            )
+            for k in kinds:
+                edir_f[k] = edir_f[k] + ef[k]
+                incoming[k] = incoming[k] + inc[k]
 
         B_face = b.planck if b.planck is not None else 0.0
         out = {}
-        for k, m in masks.items():
+        for k, m in face_masks(b).items():
             inc = jnp.where(m, incoming[k], 0.0)
             ed = jnp.where(m, edir_f[k], 0.0)
             outg = jnp.where(

@@ -296,6 +296,22 @@ class EcckdGasOptics:
         tau = gi(kext_g) * iwp[None]
         return tau, gi(w0_g), gi(g_g)
 
+    def planck_at(self, T) -> np.ndarray:
+        """Per-g-point Planck emission [W/m2/sr] at temperature(s) `T`
+        (scalar or array), shape (ngpt,) + shape(T).
+
+        Parity: reference `ecckd_planck` (`ecckd/ecckd_optprop.F90`), used
+        per band to set building-face emission
+        (`ecckd/ecckd_pprts.F90:404-412`)."""
+        tb = _load("lw", self.n_gpt, self.data_dir)
+        tp = tb.z["temperature_planck"]  # (231,)
+        pf = tb.z["planck_function"]  # (231, ngpt) [W/m2]
+        Ta = np.asarray(T, np.float64)
+        shape = Ta.shape
+        itv, wtv = _frac_index(tp, np.clip(Ta.ravel(), tp[0], tp[-1]))
+        B = ((1 - wtv[:, None]) * pf[itv] + wtv[:, None] * pf[itv + 1]) / PI
+        return np.moveaxis(B.reshape(shape + (tb.ngpt,)), -1, 0).astype(np.float32)
+
     def thermal(self, atm: Atmosphere) -> SpectralOptProps:
         tb = _load("lw", self.n_gpt, self.data_dir)
         tau = self._gas_tau(tb, atm)

@@ -68,6 +68,11 @@ class SpectralResult(NamedTuple):
     edn: jnp.ndarray
     eup: jnp.ndarray
     abso: jnp.ndarray  # (Nz, Nx, Ny) [W/m3]
+    # spectrally integrated per-face building fluxes [W/m2], keyed by
+    # face kind -> dict(edir, incoming, outgoing); None without buildings
+    # (reference accumulates `opt_buildings%incoming/outgoing` over
+    # g-points, `ecckd/ecckd_pprts.F90:440-448`)
+    buildings: Optional[dict] = None
 
 
 def _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields):
@@ -170,6 +175,7 @@ def specint_pprts(
     cld_frac=None,
     mcica_seed: int = 712,
     overlap: str = "maxrand",
+    buildings=None,
 ) -> SpectralResult:
     """Full-spectrum solve.  The solver's grid z-axis must match
     atm.nlay; sun angles must be set for solar.
@@ -191,6 +197,30 @@ def specint_pprts(
     scheme = solver.scheme
     nz, nx, ny = grid.nz, grid.nx, grid.ny
     assert atm.nlay == nz, f"atmosphere layers {atm.nlay} != grid nz {nz}"
+
+    # buildings: attach and derive per-g-point face emission from the
+    # face temperature (reference: specint drivers clone the buildings,
+    # set spec_buildings%planck per band via the backend Planck function
+    # and accumulate incoming/outgoing, `ecckd/ecckd_pprts.F90:339-448`)
+    if buildings is None:
+        buildings = getattr(solver, "_buildings", None)
+    pb_gpt = None  # (ngpt_thermal,) or (ngpt_thermal, nz, nx, ny)
+    if buildings is not None:
+        if buildings.planck is not None:
+            raise ValueError(
+                "specint_pprts computes the per-band building emission "
+                "from buildings.temp; provide temperatures, not planck "
+                "(reference CHKERR, ecckd/ecckd_pprts.F90:350-352)"
+            )
+        solver.set_buildings(buildings)
+        if lthermal and buildings.temp is not None:
+            if not hasattr(backend, "planck_at"):
+                raise NotImplementedError(
+                    f"backend {type(backend).__name__} has no planck_at(); "
+                    "thermal building emission needs a per-g-point Planck "
+                    "function (use specint='ecckd')"
+                )
+            pb_gpt = np.asarray(backend.planck_at(buildings.temp), np.float32)
 
     # cloud fields default from the atmosphere container (reference
     # specint reads lwc/reliq/iwc/reice off t_tenstr_atm)
@@ -304,6 +334,9 @@ def specint_pprts(
         return delta_scale(kabs, ksca, g)
 
     if solver.solver_type in ("2str", "schwarzschild", "disort"):
+        if buildings is not None:
+            raise ValueError("buildings need a 3-D solver (got "
+                             f"solver_type={solver.solver_type!r})")
         return _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields)
 
     edir_acc = None
@@ -322,7 +355,7 @@ def specint_pprts(
         ngpt = sp.tau.shape[0]
         has_planck = sp.planck is not None
         fn = solver._solve_fn(lthermal=has_planck, lsolar=solar, has_planck_srfc=sp.planck_srfc is not None)
-        vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0))
+        vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0))
 
         zeros_planck = jnp.zeros((nz + 1, nx, ny), ireals)
         if not hasattr(solver, "_spectral_cache"):
@@ -373,9 +406,17 @@ def specint_pprts(
             kabs_b, ksca_b, g_b = batched_fields(
                 sp, "sw" if solar else "lw", gsel=slice(lo, hi)
             )
+            if pb_gpt is not None and has_planck:
+                pb_sl = jnp.asarray(pb_gpt[lo:hi], ireals)
+                if pb_sl.ndim == 1:  # scalar building temperature
+                    pb_b = pb_sl[:, None, None, None] * jnp.ones((nz, nx, ny), ireals)
+                else:
+                    pb_b = pb_sl
+            else:
+                pb_b = jnp.zeros((nb, nz, nx, ny), ireals)
             edir_b, ediff_b, abso_b, niter_b, om_b, res_b, tol_b = vfn(
                 kabs_b, ksca_b, g_b, a2d,
-                planck_b, psrfc_b, toa_b, x0, om0,
+                planck_b, psrfc_b, toa_b, x0, om0, pb_b,
             )
             from tenstream_tpu.pprts.solver import Solution
 
@@ -513,4 +554,40 @@ def specint_pprts(
         e = edir_acc * solver._dir_scale_to_wm2()
         edir = e[: scheme.dirtop.dof].sum(0) / scheme.dirtop.area_divider * mu
 
-    return SpectralResult(edir, edn, eup, abso)
+    bld_fluxes = None
+    if buildings is not None:
+        from tenstream_tpu.core.types import PI
+        from tenstream_tpu.pprts.buildings import (
+            building_incoming_from_fields,
+            face_masks,
+        )
+
+        # incoming is linear in the flux fields, so one extraction on the
+        # spectrally accumulated [W] states equals the reference's
+        # per-band accumulation (`ecckd_pprts.F90:440-448`)
+        ediff_tot = ediff_acc_solar * mu + ediff_acc_thermal
+        edir_tot = None if edir_acc is None else edir_acc * mu
+        ef, inc = building_incoming_from_fields(
+            scheme, buildings, ediff_tot, edir_tot,
+            grid.az, grid.dx, grid.dy, grid.dz3d,
+            xinc=solver.sun.xinc if solver.sun is not None else 1,
+            yinc=solver.sun.yinc if solver.sun is not None else 1,
+        )
+        # broadband face emission: sum of the per-g-point Planck values
+        B_tot = 0.0
+        if pb_gpt is not None:
+            B_tot = pb_gpt.sum(0)  # scalar or (nz, nx, ny)
+        bld_fluxes = {}
+        for k, m in face_masks(buildings).items():
+            bld_fluxes[k] = dict(
+                edir=jnp.where(m, ef[k], 0.0),
+                incoming=jnp.where(m, inc[k], 0.0),
+                outgoing=jnp.where(
+                    m,
+                    buildings.albedo * inc[k]
+                    + (1.0 - buildings.albedo) * PI * B_tot,
+                    0.0,
+                ),
+            )
+
+    return SpectralResult(edir, edn, eup, abso, buildings=bld_fluxes)

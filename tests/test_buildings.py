@@ -165,3 +165,58 @@ def test_building_face_fluxes_thermal(opp_small):
     # sky longwave onto the roof: thin atmosphere above (tau ~ 0.03)
     # emits a ~W/m2-scale downwelling
     assert roof["incoming"][3, 4, 4] > 0.5
+
+
+def test_specint_buildings(opp_small):
+    """Buildings through the full-spectrum API: per-band Planck emission
+    from the face temperature and spectrally accumulated per-face fluxes
+    (reference `ex_pprts_specint_buildings.F90`;
+    `ecckd/ecckd_pprts.F90:339-448`)."""
+    import jax.numpy as jnp
+
+    from tenstream_tpu.atm import setup_standard_atmosphere
+    from tenstream_tpu.spectral.specint import specint_pprts
+
+    atm = setup_standard_atmosphere(nlay=10, ztop=10e3)
+    nx = ny = 4
+    grid = Grid.create(atm.nlay, nx, ny, 100.0, 100.0,
+                       np.asarray(atm.dz, np.float32))
+    solid = np.zeros((atm.nlay, nx, ny), bool)
+    solid[-1, 1:3, 1:3] = True  # 2x2 ground-layer building
+    T_b, a_b = 330.0, 0.3
+    b = Buildings(solid=jnp.asarray(solid), albedo=a_b, temp=jnp.asarray(T_b))
+
+    solver = PprtsSolver(grid, opp_small)
+    solver.set_angles(sundir_from_angles(20.0, 40.0))
+    res = specint_pprts(solver, atm, albedo=0.15, lthermal=True,
+                        lsolar=True, specint="ecckd", buildings=b)
+
+    assert res.buildings is not None
+    roof = {k: np.asarray(v) for k, v in res.buildings["roof"].items()}
+    # fluxes only on exposed roof faces
+    m = np.asarray(solid)
+    assert (roof["incoming"][~m] == 0).all()
+    assert roof["incoming"][-1, 1, 1] > 100.0  # sun + sky + thermal edn
+
+    # broadband emission: outgoing - albedo*incoming == (1-a) sigma T^4
+    # (the per-g-point ecCKD Planck values must integrate to sigma T^4)
+    sigma = 5.670374419e-8
+    emitted = roof["outgoing"][-1, 1, 1] - a_b * roof["incoming"][-1, 1, 1]
+    np.testing.assert_allclose(emitted, (1 - a_b) * sigma * T_b**4, rtol=2e-2)
+
+    # direct on the roof is positive and part of incoming
+    assert 0.0 < roof["edir"][-1, 1, 1] <= roof["incoming"][-1, 1, 1]
+
+    # the hot building's emission shows up in the domain: eup above the
+    # building exceeds eup far away at the same level
+    eup = np.asarray(res.eup)
+    assert eup[-2, 1, 1] > eup[-2, 3, 3], (eup[-2, 1, 1], eup[-2, 3, 3])
+
+    # static planck + specint is an error (reference CHKERR)
+    b_bad = Buildings(solid=jnp.asarray(solid), albedo=a_b,
+                      planck=jnp.ones(solid.shape, np.float32))
+    solver2 = PprtsSolver(grid, opp_small)
+    solver2.set_angles(sundir_from_angles(20.0, 40.0))
+    with pytest.raises(ValueError):
+        specint_pprts(solver2, atm, albedo=0.15, lthermal=True,
+                      lsolar=False, specint="ecckd", buildings=b_bad)

@@ -40,15 +40,16 @@ def test_sharded_solve_matches_single(opp_small):
         jnp.asarray(ka), jnp.asarray(ks), jnp.asarray(gg), albedo2d,
         jnp.asarray(planck, ireals), jnp.zeros((nx, ny), ireals),
         jnp.asarray(800.0, ireals), x0, jnp.asarray(1.0, ireals),
+        jnp.zeros((nz, nx, ny), ireals),
     )
-    edir_1, ediff_1, abso_1, n1, _, _ = fn(*args)
+    edir_1, ediff_1, abso_1, n1, *_ = fn(*args)
 
     mesh = make_mesh(jax.devices()[:8])
     ka_s, ks_s, gg_s, alb_s, pl_s, x0_s = shard_fields(
         mesh, args[0], args[1], args[2], args[3], args[4], x0
     )
-    edir_8, ediff_8, abso_8, n8, _, _ = fn(
-        ka_s, ks_s, gg_s, alb_s, pl_s, args[5], args[6], x0_s, args[8]
+    edir_8, ediff_8, abso_8, n8, *_ = fn(
+        ka_s, ks_s, gg_s, alb_s, pl_s, args[5], args[6], x0_s, args[8], args[9]
     )
 
     np.testing.assert_allclose(np.asarray(edir_1), np.asarray(edir_8), rtol=2e-4, atol=1e-2)

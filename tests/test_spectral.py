@@ -131,3 +131,30 @@ def test_specint_extra_tau():
     e_hazy = float(np.asarray(hazy.edir)[-1].mean())
     assert e_hazy < 0.75 * e_clear, (e_hazy, e_clear)
     assert np.isfinite(np.asarray(hazy.abso)).all()
+
+
+def test_vegetation_albedo_ranges():
+    """Vegetation spectral albedo curves + range averaging (reference
+    `vegetation_optprop.F90:186-215`)."""
+    from tenstream_tpu.spectral.vegetation import (
+        VEG_TYPES,
+        get_albedo_for_range,
+        mix_material,
+    )
+
+    # leaves are dark in the visible and bright in the NIR plateau
+    vis = get_albedo_for_range("leaf", 0.45, 0.68)
+    nir = get_albedo_for_range("leaf", 0.75, 1.2)
+    assert vis < 0.1 < 0.35 < nir, (vis, nir)
+    # range averages stay inside the curve's bounds
+    for name, (lam, alb) in VEG_TYPES.items():
+        a = get_albedo_for_range(name, float(lam[0]), float(lam[-1]))
+        assert alb.min() - 1e-12 <= a <= alb.max() + 1e-12
+    # single-point range == interpolated curve value
+    a55 = get_albedo_for_range("grass", 0.55, 0.55)
+    import numpy as _np
+    lam, alb = VEG_TYPES["grass"]
+    assert abs(a55 - _np.interp(0.55, lam, alb)) < 1e-6
+    # material mixing is tau-weighted
+    tau, w0 = mix_material(1.0, 0.1, 1.0, 0.5)
+    assert tau == 2.0 and abs(w0 - 0.3) < 1e-12
