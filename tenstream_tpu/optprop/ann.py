@@ -189,13 +189,33 @@ class AnnOptProp:
         X = _features(tauz, w0, aspect, g,
                       jnp.asarray(phi_deg, ireals), jnp.asarray(theta_deg, ireals))
         Y = _mlp_apply(self._dir_params, X)
-        c_dd = Y[..., : nd * nd].reshape(X.shape[:-1] + (nd, nd))
-        c_df = Y[..., nd * nd :].reshape(X.shape[:-1] + (nd, nf))
+        from tenstream_tpu.boxmc.direct_transmission import (
+            dir2dir_analytic,
+            supports_scheme,
+        )
+
+        if supports_scheme(self.scheme.name):
+            # exact closed-form direct backbone, same as the LUT facade —
+            # the net only ever carries the scattered source term
+            c_dd = dir2dir_analytic(
+                self.scheme.name, tauz, aspect, phi_deg, theta_deg
+            ).astype(ireals)
+            c_dd = jnp.moveaxis(c_dd, (-2, -1), (0, 1))
+        else:
+            c_dd = jnp.moveaxis(
+                Y[..., : nd * nd].reshape(X.shape[:-1] + (nd, nd)), (-2, -1), (0, 1)
+            )
+        c_df = jnp.moveaxis(
+            Y[..., nd * nd:].reshape(X.shape[:-1] + (nd, nf)), (-2, -1), (0, 1)
+        )
         if switch_x or switch_y:
-            perm = _diff_dst_permutation(self.scheme, switch_x, switch_y)
-            c_df = c_df[..., :, perm]
-        # stream dims lead (facade convention, see OptProp.dir_coeffs)
-        return jnp.moveaxis(c_dd, (-2, -1), (0, 1)), jnp.moveaxis(c_df, (-2, -1), (0, 1))
+            # sun-octant unfolding identical to OptProp.dir_coeffs: p on
+            # both dir dims, p/q on dir2diff src/dst
+            q = _diff_dst_permutation(self.scheme, switch_x, switch_y)
+            p = self.scheme.dir_switch_perm(switch_x, switch_y)
+            c_dd = c_dd[p, :][:, p]
+            c_df = c_df[p, :][:, q]
+        return c_dd, c_df
 
     def diff_coeffs(self, tauz, w0, g, aspect) -> jnp.ndarray:
         nf = self.scheme.ndiff
