@@ -62,8 +62,8 @@ def main(nx=16, ny=16, nlay=20, dx=100.0,
     print(f"direct in the tower shadow (cell {ishadow}) vs far field: "
           f"{edir[-1][ishadow]:.2f} vs {edir[-1, 1, 1]:.2f} W/m2")
 
-    roof = {k: np.asarray(v) for k, v in res.buildings["roof"].items()}
-    wallS = {k: np.asarray(v) for k, v in res.buildings["wall_y_low"].items()}
+    roof = {k: np.asarray(v) for k, v in bldg.fluxes["roof"].items()}
+    wallS = {k: np.asarray(v) for k, v in bldg.fluxes["wall_y_low"].items()}
     k_roof = nlay - 2
     print(f"roof  (broadband): edir {roof['edir'][k_roof, 7, 7]:8.2f}  "
           f"incoming {roof['incoming'][k_roof, 7, 7]:8.2f}  "

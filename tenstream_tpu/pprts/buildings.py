@@ -35,6 +35,10 @@ class Buildings:
     # `opt_buildings%temp` -> `ecckd_planck` per band,
     # `ecckd/ecckd_pprts.F90:348-412`)
     temp: Optional[jnp.ndarray] = None
+    # filled by specint_pprts: spectrally integrated per-face fluxes
+    # [W/m2], face kind -> dict(edir, incoming, outgoing) (reference
+    # fills `opt_buildings%incoming/outgoing`, `ecckd_pprts.F90:440-448`)
+    fluxes: Optional[dict] = None
 
     def exposed_top(self):
         """Faces where radiation travelling down hits a roof: cell solid,

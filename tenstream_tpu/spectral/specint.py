@@ -68,11 +68,6 @@ class SpectralResult(NamedTuple):
     edn: jnp.ndarray
     eup: jnp.ndarray
     abso: jnp.ndarray  # (Nz, Nx, Ny) [W/m3]
-    # spectrally integrated per-face building fluxes [W/m2], keyed by
-    # face kind -> dict(edir, incoming, outgoing); None without buildings
-    # (reference accumulates `opt_buildings%incoming/outgoing` over
-    # g-points, `ecckd/ecckd_pprts.F90:440-448`)
-    buildings: Optional[dict] = None
 
 
 def _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields):
@@ -554,7 +549,6 @@ def specint_pprts(
         e = edir_acc * solver._dir_scale_to_wm2()
         edir = e[: scheme.dirtop.dof].sum(0) / scheme.dirtop.area_divider * mu
 
-    bld_fluxes = None
     if buildings is not None:
         from tenstream_tpu.core.types import PI
         from tenstream_tpu.pprts.buildings import (
@@ -589,5 +583,9 @@ def specint_pprts(
                     0.0,
                 ),
             )
+        # written onto the buildings object, like the reference fills
+        # opt_buildings%incoming/outgoing (`ecckd_pprts.F90:440-448`);
+        # SpectralResult stays a plain (edir, edn, eup, abso) tuple
+        buildings.fluxes = bld_fluxes
 
-    return SpectralResult(edir, edn, eup, abso, buildings=bld_fluxes)
+    return SpectralResult(edir, edn, eup, abso)

@@ -191,8 +191,8 @@ def test_specint_buildings(opp_small):
     res = specint_pprts(solver, atm, albedo=0.15, lthermal=True,
                         lsolar=True, specint="ecckd", buildings=b)
 
-    assert res.buildings is not None
-    roof = {k: np.asarray(v) for k, v in res.buildings["roof"].items()}
+    assert b.fluxes is not None
+    roof = {k: np.asarray(v) for k, v in b.fluxes["roof"].items()}
     # fluxes only on exposed roof faces
     m = np.asarray(solid)
     assert (roof["incoming"][~m] == 0).all()
