@@ -426,16 +426,21 @@ def specint_pprts(
             # quantization of near-converged states measurably re-burns
             # iterations every re-solve: 651 vs 1435 cols/s on the 64^2
             # bench).  "host" keeps the exact f32 states in HOST memory
-            # instead (no HBM cost; one PCIe round-trip per chunk per
-            # solve) — the mode that makes warm starts viable at
-            # BASELINE scale (256^2x128 is ~22 GB of cache, far beyond
-            # HBM but trivial in host RAM).  "auto" (default) picks
-            # device-f32 while the whole-run cache stays small, else
-            # host.
+            # instead (no HBM cost; one device<->host round-trip per
+            # chunk per solve) — warm starts beyond HBM when the host
+            # link is a real PCIe bus.  MEASURED CAVEAT: on a tunneled
+            # TPU (axon remote chip) the "PCIe" copy is a network copy;
+            # at 256^2x128 the ~43+43 GB/solve round-trip made the warm
+            # solve SLOWER than cold (>1700s vs 1109s), so "auto" does
+            # NOT select host — it remains opt-in for locally attached
+            # chips.  "auto" (default): f32 while the whole-run cache is
+            # small, bf16 while moderate, off beyond (the large-grid
+            # single-chip regime, where every solve is cold).
             cache_mode = solver.options.get("specint_cache", "auto")
             if cache_mode == "auto":
                 f32_bytes_total = 2 * ngpt * scheme.ndiff * (nz + 1) * nx * ny * 4
-                cache_mode = "f32" if f32_bytes_total < 1.5e9 else "host"
+                cache_mode = ("f32" if f32_bytes_total < 1.5e9
+                              else "bf16" if f32_bytes_total < 4e9 else "off")
             if cache_mode == "host":
                 # defer the device->host materialization by one chunk so
                 # the PCIe copy overlaps the next chunk's device compute
