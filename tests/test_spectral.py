@@ -158,3 +158,42 @@ def test_vegetation_albedo_ranges():
     # material mixing is tau-weighted
     tau, w0 = mix_material(1.0, 0.1, 1.0, 0.5)
     assert tau == 2.0 and abs(w0 - 0.3) < 1e-12
+
+
+def test_specint_cache_modes(opp_small):
+    """All warm-start cache modes (f32 / bf16 / host / off) must agree on
+    the physics; only iteration counts may differ on re-solves
+    (reference `compress_solution` semantics, `src/pprts_base.F90:425`)."""
+    import jax.numpy as jnp
+
+    from tenstream_tpu.core.config import Options
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral import specint_pprts
+
+    atm = setup_standard_atmosphere(nlay=10, ztop=16e3)
+    nx = ny = 3
+    grid = Grid.create(atm.nlay, nx, ny, 100.0, 100.0,
+                       np.asarray(atm.dz, np.float32))
+    results = {}
+    for mode in ("f32", "bf16", "host", "off"):
+        opts = Options()
+        opts.set("specint_cache", mode)
+        solver = PprtsSolver(grid, opp_small, options=opts)
+        solver.set_angles(sundir_from_angles(30.0, 40.0))
+        r1 = specint_pprts(solver, atm, albedo=0.2, lthermal=True,
+                           lsolar=True, specint="ecckd")
+        r2 = specint_pprts(solver, atm, albedo=0.2, lthermal=True,
+                           lsolar=True, specint="ecckd")  # warm re-solve
+        results[mode] = (np.asarray(r1.edn), np.asarray(r2.edn))
+        if mode == "off":
+            assert not solver.solutions or all(
+                s.ediff is None for s in solver.solutions.values())
+        elif mode == "host":
+            assert all(isinstance(s.ediff, np.ndarray)
+                       for s in solver.solutions.values())
+    ref1, ref2 = results["f32"]
+    for mode, (e1, e2) in results.items():
+        np.testing.assert_allclose(e1, ref1, atol=1e-3, err_msg=f"{mode} cold")
+        np.testing.assert_allclose(e2, ref2, atol=0.5, err_msg=f"{mode} warm")
