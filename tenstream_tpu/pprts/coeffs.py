@@ -75,6 +75,113 @@ def _onedee_blocks(scheme: StreamScheme, a11, a12, a13, a23, a33):
     return dir2dir, dir2diff, diff2diff
 
 
+def fold_thermal_emission(a11, a12, btop, bbot):
+    """Fold per-layer thermal emission (btop up at each layer top, bbot
+    down at each bottom, emissivity already applied) through the stack
+    with the exact interface recursion of `fold_eddington_adding`.
+
+    Returns (B_top_out, B_bot_out): the stack's net emission exiting its
+    top/bottom faces — block-model exact, including in-stack scattering
+    (the reference approximates this with a no-scattering schwarzschild
+    integral, `src/pprts.F90:2192-2197`)."""
+    def down(carry, layer):
+        T, Rb, Eup, Edn = carry
+        t, r, s_up, s_dn = layer
+        denom = 1.0 - Rb * r
+        B = (r * Edn + s_up) / denom
+        A = Edn + Rb * B
+        Edn2 = t * A + s_dn
+        Eup2 = Eup + T * B
+        T2 = T * t / denom
+        Rb2 = r + t * Rb * t / denom
+        return (T2, Rb2, Eup2, Edn2), None
+
+    init = (a11[0], a12[0], btop[0], bbot[0])
+    (T, Rb, Eup, Edn), _ = jax.lax.scan(
+        down, init, (a11[1:], a12[1:], btop[1:], bbot[1:])
+    )
+    return Eup, Edn
+
+
+def fold_eddington_adding(a11, a12, a13, a23, a33):
+    """Fold a stack of plane-parallel layers into ONE effective layer via
+    the adding method (reference `adding`, `src/pprts.F90:2125-2198`).
+
+    Inputs are per-layer symmetric two-stream sets with leading z axis
+    (K, Nx, Ny); per-layer a21 = a12 and a22 = a11 (homogeneous slabs).
+    Returns the ASYMMETRIC combined set
+      (Ttop, Rtop, Tbot, Rbot, rdir, sdir, tdir)
+    where Ttop/Rtop act on radiation incident from the top, Tbot/Rbot
+    from below, and (rdir, sdir, tdir) are the combined direct->diffuse
+    up/down and direct->direct transmissions.
+    """
+    # Exact adding: one top-down pass tracking BOTH composite
+    # reflectivities.  NB the reference recursion is approximate — it
+    # uses the composite's TOP reflectivity in the interface denominator
+    # where the BOTTOM one belongs (`src/pprts.F90:2146-2156`); here the
+    # Schur elimination of the interior faces is exact, verified against
+    # a dense two-stream chain solve (tests/test_collapse.py).
+    def down(carry, layer):
+        T, Rt, Rb, tdir, rdir, sdir = carry  # T = Tdn = Tup (reciprocity)
+        t, r, s_up, s_dn, t_dir = layer  # per-layer a11, a12, a13, a23, a33
+        denom = 1.0 - Rb * r
+        # diffuse composition: composite above + symmetric layer below
+        T2 = T * t / denom
+        Rt2 = Rt + T * r * T / denom
+        Rb2 = r + t * Rb * t / denom
+        # direct-scattered sources at the interface: the new layer sees
+        # direct tdir at its top; its upward source bounces between the
+        # composite bottom (Rb) and the layer top (r)
+        B = (r * sdir + s_up * tdir) / denom  # upward INTO the composite
+        A = sdir + Rb * B  # downward onto the new layer
+        sdir2 = t * A + s_dn * tdir
+        rdir2 = rdir + T * B
+        tdir2 = tdir * t_dir
+        return (T2, Rt2, Rb2, tdir2, rdir2, sdir2), None
+
+    init = (a11[0], a12[0], a12[0], a33[0], a13[0], a23[0])
+    (T, Rtop, Rbot, tdir, rdir, sdir), _ = jax.lax.scan(
+        down, init, (a11[1:], a12[1:], a13[1:], a23[1:], a33[1:])
+    )
+    return T, Rtop, T, Rbot, rdir, sdir, tdir
+
+
+def onedee_blocks_collapsed(scheme: StreamScheme, folded):
+    """Per-cell blocks of the collapsed super-layer from the asymmetric
+    folded set: downward top dofs transmit Ttop / reflect Rtop, upward
+    dofs Tbot / Rbot (reference writes Tbot/Rtop/Rbot/Ttop into
+    a11/a12/a21/a22 of the collapsed index, `src/pprts.F90:2178-2182`).
+    Returns (dir2dir, dir2diff, diff2diff) with shapes
+    (nd, nd, Nx, Ny) / (nd, nf, Nx, Ny) / (nf, nf, Nx, Ny)."""
+    Ttop, Rtop, Tbot, Rbot, rdir, sdir, tdir = folded
+    shp = Ttop.shape
+    nd, nf = scheme.ndir, scheme.ndiff
+    ntd = scheme.dirtop.dof
+    inward = scheme.diff_inward()
+    inv = scheme.diff_inv_dof()
+
+    dir2dir = jnp.zeros((nd, nd) + shp, Ttop.dtype)
+    for t in range(ntd):
+        dir2dir = dir2dir.at[t, t].set(tdir)
+
+    wtop = scheme.difftop_weights()
+    dir2diff = jnp.zeros((nd, nf) + shp, Ttop.dtype)
+    for t in range(ntd):
+        for d in range(scheme.difftop.dof):
+            val = sdir if inward[d] else rdir
+            dir2diff = dir2diff.at[t, d].set(val * float(wtop[d]))
+
+    # (src, dst) ordering: src d transmits into dst d and reflects into
+    # dst inv[d]; downward sources see Ttop/Rtop, upward ones Tbot/Rbot
+    diff2diff = jnp.zeros((nf, nf) + shp, Ttop.dtype)
+    for d in range(scheme.difftop.dof):
+        tr = Ttop if inward[d] else Tbot
+        rf = Rtop if inward[d] else Rbot
+        diff2diff = diff2diff.at[d, d].set(tr)
+        diff2diff = diff2diff.at[d, int(inv[d])].set(rf)
+    return dir2dir, dir2diff, diff2diff
+
+
 def _zslab_map(fn, inputs, nz: int, z_slab: int):
     """Apply `fn` (slab-of-(zc,Nx,Ny)-fields -> tuple of (C.., zc,Nx,Ny)
     arrays) over z-slabs, writing into preallocated full-z buffers.

@@ -269,6 +269,7 @@ class PprtsSolver:
             self._buildings is not None
             and (self._buildings.planck is not None
                  or (lthermal and self._buildings.temp is not None)),
+            self.options.get_int("atm_collapse", 0),
             id(getattr(self, "_mesh", None)),
         )
         if key in self._solve_cache:
@@ -314,6 +315,26 @@ class PprtsSolver:
             buildings.planck is not None
             or (lthermal and buildings.temp is not None)
         )
+
+        # atmosphere collapse: fold the top K (1-D) layers into ONE
+        # effective layer via the adding method before the solve
+        # (reference `-atm_collapse` / `handle_atm_collapse`,
+        # `src/pprts.F90:685-705,2080-2198`).  Inputs stay on the full
+        # atm grid; state (x0) and outputs live on the REDUCED grid
+        # (nz_solve layers) — same as the reference, whose solver DMDA
+        # is the collapsed grid.
+        K = self.options.get_int("atm_collapse", 0)
+        if K > 1:
+            if not bool(np.asarray(l1d[:K]).all()):
+                raise ValueError(
+                    f"atm_collapse={K}: the collapsed region must be 1-D "
+                    "layers (reference forces l1d there, src/pprts.F90:703)"
+                )
+            if buildings is not None:
+                raise ValueError("atm_collapse cannot combine with buildings")
+            if guess_2str:
+                raise ValueError("atm_collapse cannot combine with diff_guess_2str")
+            l1d = np.concatenate([[True], l1d[K:]])
         # bf16 coefficient compression halves the HBM traffic of the
         # diffuse iteration, but near-conservative transmissions
         # (a11 = 1 - eps, optically thin layers) lose eps to the 8-bit
@@ -341,10 +362,77 @@ class PprtsSolver:
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0,
                 omega0, planck_bldg):
+            dz3d = grid.dz3d
+            collapse_btop = collapse_bbot = None
+            if K > 1:
+                from tenstream_tpu.ops.eddington import eddington_coeff_ec
+                from tenstream_tpu.pprts.coeffs import (
+                    fold_eddington_adding,
+                    onedee_blocks_collapsed,
+                )
+
+                mu_c = (sun.mu if (lsolar and sun is not None and sun.sun_up)
+                        else jnp.asarray(1.0, ireals))
+                kext_s = kabs[:K] + ksca[:K]
+                tz_s = kext_s * dz3d[:K]
+                w0_s = ksca[:K] / jnp.maximum(kext_s, jnp.finfo(ireals).tiny)
+                folded = fold_eddington_adding(
+                    *eddington_coeff_ec(tz_s, w0_s, g[:K], mu_c)
+                )
+                if lthermal:
+                    # effective super-layer emission: per-layer B_eff
+                    # emission rows folded through the exact interface
+                    # recursion — block-model exact INCLUDING in-stack
+                    # scattering (the reference approximates with a
+                    # no-scattering schwarzschild integral,
+                    # `src/pprts.F90:2192-2197`)
+                    from tenstream_tpu.ops.planck import b_eff
+                    from tenstream_tpu.pprts.coeffs import (
+                        fold_thermal_emission,
+                    )
+
+                    a11_s, a12_s, _, _, _ = eddington_coeff_ec(
+                        tz_s, w0_s, g[:K], mu_c
+                    )
+                    tau_abs = kabs[:K] * dz3d[:K]
+                    emis_s = jnp.clip(1.0 - a11_s - a12_s, 0.0, 1.0)
+                    bt = b_eff(planck[1:K + 1], planck[:K], tau_abs) * emis_s
+                    bb = b_eff(planck[:K], planck[1:K + 1], tau_abs) * emis_s
+                    collapse_btop, collapse_bbot = fold_thermal_emission(
+                        a11_s, a12_s, bt, bb
+                    )
+
+                # reduced fields: super-layer preserves total optical
+                # depth; its blocks are overwritten with the folded set
+                dz0 = dz3d[:K].sum(0, keepdims=True)
+                cat = lambda top, rest: jnp.concatenate([top, rest], axis=0)
+                kabs_r = cat((kabs[:K] * dz3d[:K]).sum(0, keepdims=True) / dz0, kabs[K:])
+                ksca_r = cat((ksca[:K] * dz3d[:K]).sum(0, keepdims=True) / dz0, ksca[K:])
+                g_r = cat(g[:1], g[K:])
+                kabs, ksca, g = kabs_r, ksca_r, g_r
+                dz3d = cat(dz0, dz3d[K:])
+                planck = jnp.concatenate([planck[:1], planck[K:]], axis=0)
+
             coeffs, (a11, a12, a13, a23, a33) = assemble_coeffs(
-                scheme, opp, kabs, ksca, g, grid.dz3d, grid.dx, l1d,
+                scheme, opp, kabs, ksca, g, dz3d, grid.dx, l1d,
                 sun, need_dir=lsolar, z_slab=z_slab,
             )
+            if K > 1:
+                # overwrite the super-layer's analytic blocks with the
+                # adding-folded (asymmetric) set; NB the reference reuses
+                # symmetric a11/a12 for both directions (TODO at
+                # `src/pprts.F90:5721,5729`) — here up/down use Tbot/Ttop
+                # and Rbot/Rtop correctly
+                dd0, df0, ff0 = onedee_blocks_collapsed(scheme, folded)
+                from tenstream_tpu.pprts.coeffs import CoeffFields as _CFc
+
+                ff_n = coeffs.diff2diff.at[:, :, 0].set(ff0)
+                dd_n = df_n = None
+                if coeffs.dir2dir is not None:
+                    dd_n = coeffs.dir2dir.at[:, :, 0].set(dd0)
+                if coeffs.dir2diff is not None:
+                    df_n = coeffs.dir2diff.at[:, :, 0].set(df0)
+                coeffs = _CFc(dd_n, df_n, ff_n)
             if (
                 use_geometric and lsolar and sun is not None and sun.sun_up
                 and coeffs.dir2dir is not None and scheme.dirtop.dof == 1
@@ -381,8 +469,9 @@ class PprtsSolver:
                              coeffs.diff2diff.astype(jnp.bfloat16))
 
             edir = None
+            nz_r = dz3d.shape[0]
             b = jnp.zeros(
-                (scheme.ndiff, grid.nz + 1, grid.nx, grid.ny), ireals
+                (scheme.ndiff, nz_r + 1, grid.nx, grid.ny), ireals
             )
             if lsolar and sun is not None and sun.sun_up:
                 fac = edirTOA * grid.az / scheme.dirtop.area_divider
@@ -415,9 +504,10 @@ class PprtsSolver:
             b_th = None
             if lthermal and planck is not None:
                 b_th = thermal_source(
-                    scheme, diff2diff_f32, planck, kabs, grid.dz3d,
+                    scheme, diff2diff_f32, planck, kabs, dz3d,
                     grid.dx, grid.dy, albedo2d, l1d,
                     planck_srfc=planck_srfc if has_planck_srfc else None,
+                    collapse_btop=collapse_btop, collapse_bbot=collapse_bbot,
                 )
                 b = b + b_th
 
@@ -465,7 +555,9 @@ class PprtsSolver:
                 )
 
             abso = calc_flx_div(
-                scheme, coeffs, ediff, grid.volumes(), l1d, kabs, grid.dz3d,
+                scheme, coeffs, ediff,
+                dz3d * (grid.dx * grid.dy) if K > 1 else grid.volumes(),
+                l1d, kabs, dz3d,
                 a11, a12, sun=sun, edir=edir, b_thermal=b_th,
             )
             return edir, ediff, abso, niter, omega, res, tol
@@ -504,11 +596,19 @@ class PprtsSolver:
             return sol
         return self._solve_mono(lthermal, lsolar, edirTOA, uid)
 
+    @property
+    def nz_solve(self) -> int:
+        """Vertical layers of the SOLVE grid: grid.nz, reduced by
+        atm_collapse (the reference's solver DMDA is the collapsed grid;
+        results and warm-start states live on this grid)."""
+        K = self.options.get_int("atm_collapse", 0)
+        return self.grid.nz - (K - 1 if K > 1 else 0)
+
     def _solve_mono(self, lthermal, lsolar, edirTOA, uid):
         atm = self._atm
         prev = self.solutions.get(uid)
         x0 = prev.ediff.astype(ireals) if prev is not None else jnp.zeros(
-            (self.scheme.ndiff, self.grid.nz + 1, self.grid.nx, self.grid.ny), ireals
+            (self.scheme.ndiff, self.nz_solve + 1, self.grid.nx, self.grid.ny), ireals
         )
         omega0 = prev.diff_omega if prev is not None else jnp.asarray(1.0, ireals)
 
@@ -662,16 +762,26 @@ class PprtsSolver:
         self.solutions[uid] = sol
         return sol
 
+    def _dz_solve(self) -> jnp.ndarray:
+        """dz3d on the SOLVE grid (atm_collapse folds the top K layers
+        into one)."""
+        K = self.options.get_int("atm_collapse", 0)
+        dz3 = self.grid.dz3d
+        if K > 1:
+            dz3 = jnp.concatenate([dz3[:K].sum(0, keepdims=True), dz3[K:]], axis=0)
+        return dz3
+
     def _dir_scale_to_wm2(self) -> jnp.ndarray:
         """1 / (face area per dof): converts [W] -> [W/m2]
         (reference `gen_scale_dir_flx_vec_arr`, `src/pprts.F90:3902-3945`)."""
         s = self.scheme
         g = self.grid
-        dz3 = g.dz3d
+        dz3 = self._dz_solve()
+        nzs = self.nz_solve
         rows = []
         for d in range(s.ndir):
             if d < s.dirtop.dof:
-                area = jnp.full((g.nz + 1, g.nx, g.ny), g.az / s.dirtop.area_divider, ireals)
+                area = jnp.full((nzs + 1, g.nx, g.ny), g.az / s.dirtop.area_divider, ireals)
             else:
                 a = (g.dy if d < s.dirtop.dof + s.dirside.dof else g.dx)
                 layer_area = a * dz3 / s.dirside.area_divider
@@ -684,11 +794,12 @@ class PprtsSolver:
     def _diff_scale_to_wm2(self) -> jnp.ndarray:
         s = self.scheme
         g = self.grid
-        dz3 = g.dz3d
+        dz3 = self._dz_solve()
+        nzs = self.nz_solve
         rows = []
         for d in range(s.ndiff):
             if d < s.difftop.dof:
-                area = jnp.full((g.nz + 1, g.nx, g.ny), g.az / s.difftop.area_divider, ireals)
+                area = jnp.full((nzs + 1, g.nx, g.ny), g.az / s.difftop.area_divider, ireals)
             else:
                 # NOTE: the reference scales y-faces by difftop's divider
                 # (`src/pprts.F90:3975`), which looks like a typo; we use

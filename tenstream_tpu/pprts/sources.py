@@ -35,10 +35,15 @@ def thermal_source(
     albedo2d: jnp.ndarray,
     l1d: jnp.ndarray,  # (Nz,) bool
     planck_srfc: Optional[jnp.ndarray] = None,
+    collapse_btop: Optional[jnp.ndarray] = None,  # (Nx, Ny) [W/m2/sr]
+    collapse_bbot: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Thermal emission source b [W], shape (ndiff, Nz+1, Nx, Ny).
 
     Reference `set_thermal_source` (`src/pprts.F90:4848-4989`).
+    With `collapse_btop/bbot`, layer 0 is an atm-collapse super-layer
+    whose effective emission (emissivity included) was integrated by
+    schwarzschild over the folded stack (reference `:4875-4877`).
     """
     tauz = kabs * dz3d
     b0 = planck[:-1]
@@ -66,6 +71,9 @@ def thermal_source(
         if d < ntop:
             bfac = PI * az * float(wtop[d])
             val = (bbot if inward[d] else btop) * bfac * emis[d]
+            if collapse_btop is not None:
+                ov = collapse_bbot if inward[d] else collapse_btop
+                val = val.at[0].set(ov * bfac)
         else:
             side_pos = (d - ntop) % nside
             area = ax if d < ntop + nside else ay

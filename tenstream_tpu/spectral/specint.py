@@ -191,6 +191,9 @@ def specint_pprts(
     grid = solver.grid
     scheme = solver.scheme
     nz, nx, ny = grid.nz, grid.nx, grid.ny
+    # solve-grid layers: nz reduced by atm_collapse (solver option);
+    # results/warm-start states live on the solve grid
+    nzs = solver.nz_solve if hasattr(solver, "nz_solve") else nz
     assert atm.nlay == nz, f"atmosphere layers {atm.nlay} != grid nz {nz}"
 
     # buildings: attach and derive per-g-point face emission from the
@@ -335,14 +338,14 @@ def specint_pprts(
         return _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields)
 
     edir_acc = None
-    edn = jnp.zeros((nz + 1, nx, ny), ireals)
+    edn = jnp.zeros((nzs + 1, nx, ny), ireals)
     eup = jnp.zeros_like(edn)
-    abso = jnp.zeros((nz, nx, ny), ireals)
+    abso = jnp.zeros((nzs, nx, ny), ireals)
 
     def nonlocal_edir_add(contrib):
         nonlocal edir_acc
         if edir_acc is None:
-            edir_acc = jnp.zeros((scheme.ndir, nz + 1, nx, ny), ireals)
+            edir_acc = jnp.zeros((scheme.ndir, nzs + 1, nx, ny), ireals)
         edir_acc = edir_acc + contrib
 
     def run_chunks(sp: SpectralOptProps, solar: bool, uid_tag: str):
@@ -381,7 +384,7 @@ def specint_pprts(
                       if isinstance(prev.ediff, np.ndarray)
                       else prev.ediff.astype(ireals))
             else:
-                x0 = jnp.zeros((nb, scheme.ndiff, nz + 1, nx, ny), ireals)
+                x0 = jnp.zeros((nb, scheme.ndiff, nzs + 1, nx, ny), ireals)
             om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
 
             if has_planck:
@@ -438,7 +441,7 @@ def specint_pprts(
             # single-chip regime, where every solve is cold).
             cache_mode = solver.options.get("specint_cache", "auto")
             if cache_mode == "auto":
-                f32_bytes_total = 2 * ngpt * scheme.ndiff * (nz + 1) * nx * ny * 4
+                f32_bytes_total = 2 * ngpt * scheme.ndiff * (nzs + 1) * nx * ny * 4
                 cache_mode = ("f32" if f32_bytes_total < 1.5e9
                               else "bf16" if f32_bytes_total < 4e9 else "off")
             if cache_mode == "host":
@@ -502,9 +505,9 @@ def specint_pprts(
         _host_pending.clear()
 
     _host_pending = []
-    ediff_acc_solar = jnp.zeros((scheme.ndiff, nz + 1, nx, ny), ireals)
+    ediff_acc_solar = jnp.zeros((scheme.ndiff, nzs + 1, nx, ny), ireals)
     ediff_acc_thermal = jnp.zeros_like(ediff_acc_solar)
-    abso_solar = jnp.zeros((nz, nx, ny), ireals)
+    abso_solar = jnp.zeros((nzs, nx, ny), ireals)
     abso_thermal = jnp.zeros_like(abso_solar)
     _state = {"solar": False}
 
