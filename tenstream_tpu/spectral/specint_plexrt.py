@@ -77,20 +77,18 @@ def specint_plexrt(
         w0_g = jnp.asarray(sp.w0[igpt], ireals)[col] * jnp.ones(cell_shape, ireals)
         g_g = jnp.asarray(sp.g[igpt], ireals)[col] * jnp.ones(cell_shape, ireals)
         if lwc is not None:
+            reff = jnp.asarray(reliq if reliq is not None else 10.0, ireals)
+            if reff.ndim == 0:  # scalar -> cell-shaped (the per-gpt table
+                reff = jnp.full(cell_shape, reff, ireals)  # gather needs a grid)
             if hasattr(backend, "cloud_optprops_gpt"):
                 tc, wc, gc = backend.cloud_optprops_gpt(
-                    kind, jnp.asarray(lwc, ireals),
-                    jnp.asarray(reliq if reliq is not None else 10.0, ireals),
-                    dz3,
+                    kind, jnp.asarray(lwc, ireals), reff, dz3,
                 )
                 tc, wc, gc = tc[igpt], wc[igpt], gc[igpt]
             else:
                 from tenstream_tpu.spectral.gasoptics import cloud_optprops
 
-                tc, wc, gc = cloud_optprops(
-                    jnp.asarray(lwc, ireals),
-                    jnp.asarray(reliq if reliq is not None else 10.0, ireals), dz3,
-                )
+                tc, wc, gc = cloud_optprops(jnp.asarray(lwc, ireals), reff, dz3)
             tau, w0, gg = _merge_cloud(tau_g, w0_g, g_g, tc, wc, gc)
         else:
             tau, w0, gg = tau_g, w0_g, g_g
