@@ -40,6 +40,35 @@ def _diff_dst_permutation(scheme: StreamScheme, switch_x: bool, switch_y: bool) 
     return scheme.diff_switch_perm(switch_x, switch_y)
 
 
+def _diff_pair_orbits(scheme: StreamScheme) -> Tuple[np.ndarray, int]:
+    """Orbit id of every (src, dst) diffuse stream pair under the cube
+    symmetry group (x/y/z mirrors + x<->y exchange).
+
+    Symmetrized tables (`lut.symmetrize_tables`) carry IDENTICAL values
+    for all pairs of an orbit, so the (ndiff*ndiff)-channel interpolation
+    gather only needs one channel per orbit (12 instead of 100 for 3_10
+    — an 8.3x cut in the dominant assembly gather traffic) followed by a
+    static index expansion.
+
+    Returns (orbit[src, dst] int array, n_orbits).
+    """
+    from tenstream_tpu.optprop.lut import _perm_group
+
+    p = scheme.diff_mirror_perms()
+    group = _perm_group([p["mx"], p["my"], p["mz"], p["mxy"]])
+    n = scheme.ndiff
+    orbit = -np.ones((n, n), np.int64)
+    norb = 0
+    for s in range(n):
+        for d in range(n):
+            if orbit[s, d] >= 0:
+                continue
+            for g in group:
+                orbit[g[s], g[d]] = norb
+            norb += 1
+    return orbit, norb
+
+
 class OptProp:
     """Device-resident coefficient tables for one scheme.
 
@@ -97,6 +126,26 @@ class OptProp:
             jnp.asarray(a, ireals)
             for a in (lut.diff_axes.tau, lut.diff_axes.w0, lut.diff_axes.aspect, lut.diff_axes.g)
         )
+        # orbit-compressed diffuse channels: symmetrized tables repeat
+        # each value over its cube-group (src, dst) orbit, so gather only
+        # one channel per orbit and expand with a static index map.  The
+        # consistency gate keeps unsymmetrized tables on the full path.
+        self._diff_orbit_idx = None
+        try:
+            orbit, norb = _diff_pair_orbits(self.scheme)
+            t = np.asarray(lut.diff2diff, np.float32)
+            flat = t.reshape(t.shape[:4] + (-1,))
+            oflat = orbit.ravel()
+            acc = np.zeros(t.shape[:4] + (norb,), np.float64)
+            cnt = np.zeros(norb)
+            np.add.at(acc, (..., oflat), flat)
+            np.add.at(cnt, oflat, 1.0)
+            mean = (acc / cnt).astype(np.float32)
+            if np.abs(flat - mean[..., oflat]).max() <= 1e-5:
+                self._diff2diff_orb = jnp.asarray(mean, table_dtype)
+                self._diff_orbit_idx = jnp.asarray(oflat, jnp.int32)
+        except Exception:
+            self._diff_orbit_idx = None
 
     # ------------------------------------------------------------------
     def _slice_angles(self, table, phi_deg, theta_deg):
@@ -176,8 +225,14 @@ class OptProp:
         """diff2diff with shape (ndiff, ndiff) + B (stream dims lead)."""
         fr = self._fracs(self._diff_grids, tauz, w0, aspect, g)
         nd = self.scheme.ndiff
-        tbl = self._diff2diff.reshape(self._diff2diff.shape[:4] + (nd * nd,))
-        c = self._interp(tbl, fr)
+        if self._diff_orbit_idx is not None:
+            # gather norb orbit channels, expand to (ndiff*ndiff) with a
+            # static take — exact for symmetrized tables (init gate)
+            c = self._interp(self._diff2diff_orb, fr)
+            c = jnp.take(c, self._diff_orbit_idx, axis=0)
+        else:
+            tbl = self._diff2diff.reshape(self._diff2diff.shape[:4] + (nd * nd,))
+            c = self._interp(tbl, fr)
         return c.reshape((nd, nd) + c.shape[1:])
 
 

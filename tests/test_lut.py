@@ -108,3 +108,32 @@ def test_facade_simplex_mode(tiny_lut):
     m_dd, m_df = ml.dir_coeffs(*args2)
     assert np.asarray(c_dd).min() >= -1e-5 and np.asarray(c_dd).max() <= 1 + 1e-5
     np.testing.assert_allclose(np.asarray(c_df), np.asarray(m_df), atol=0.1)
+
+
+def test_diff_orbit_compression_exact(tiny_lut):
+    """The orbit-compressed diffuse gather (12 channels for 3_10 instead
+    of ndiff^2=100) must reproduce the full-channel interpolation exactly
+    for symmetrized tables (the 8.3x assembly-gather-traffic cut must be
+    a pure layout change, never a physics change)."""
+    opp = OptProp(tiny_lut)
+    assert opp._diff_orbit_idx is not None, "symmetrized LUT should enable the orbit path"
+    assert opp._diff2diff_orb.shape[-1] == 12  # 3_10 pair orbits under the order-16 group
+
+    rng = np.random.default_rng(3)
+    B = (4, 6)
+    tauz = (10 ** rng.uniform(-4, 1, B)).astype(np.float32)
+    w0 = rng.uniform(0, 0.9, B).astype(np.float32)
+    g = rng.uniform(0, 0.5, B).astype(np.float32)
+    asp = rng.uniform(0.5, 2.0, B).astype(np.float32)
+    c_orb = np.asarray(opp.diff_coeffs(tauz, w0, g, asp))
+    opp._diff_orbit_idx = None  # force the full-channel path
+    c_full = np.asarray(opp.diff_coeffs(tauz, w0, g, asp))
+    np.testing.assert_allclose(c_orb, c_full, atol=5e-6)
+
+    # an unsymmetrized table must fail the init gate and stay on the full path
+    lut2 = LUT(
+        tiny_lut.scheme, tiny_lut.dir_axes, tiny_lut.diff_axes,
+        tiny_lut.dir2dir, tiny_lut.dir2diff,
+        tiny_lut.diff2diff + rng.uniform(0, 1e-3, tiny_lut.diff2diff.shape).astype(np.float32),
+    )
+    assert OptProp(lut2)._diff_orbit_idx is None
