@@ -40,9 +40,11 @@ def _diff_dst_permutation(scheme: StreamScheme, switch_x: bool, switch_y: bool) 
     return scheme.diff_switch_perm(switch_x, switch_y)
 
 
-def _diff_pair_orbits(scheme: StreamScheme) -> Tuple[np.ndarray, int]:
+def _diff_pair_orbits(scheme: StreamScheme, with_mz: bool = True) -> Tuple[np.ndarray, int]:
     """Orbit id of every (src, dst) diffuse stream pair under the cube
-    symmetry group (x/y/z mirrors + x<->y exchange).
+    symmetry group (x/y/z mirrors + x<->y exchange); with_mz=False drops
+    the z-mirror (the SOLVER storage subgroup — atm-collapse folded
+    blocks are up/down asymmetric, see `operators.OrbitCoeff`).
 
     Symmetrized tables (`lut.symmetrize_tables`) carry IDENTICAL values
     for all pairs of an orbit, so the (ndiff*ndiff)-channel interpolation
@@ -55,7 +57,8 @@ def _diff_pair_orbits(scheme: StreamScheme) -> Tuple[np.ndarray, int]:
     from tenstream_tpu.optprop.lut import _perm_group
 
     p = scheme.diff_mirror_perms()
-    group = _perm_group([p["mx"], p["my"], p["mz"], p["mxy"]])
+    gens = [p["mx"], p["my"], p["mxy"]] + ([p["mz"]] if with_mz else [])
+    group = _perm_group(gens)
     n = scheme.ndiff
     orbit = -np.ones((n, n), np.int64)
     norb = 0
@@ -144,8 +147,21 @@ class OptProp:
             if np.abs(flat - mean[..., oflat]).max() <= 1e-5:
                 self._diff2diff_orb = jnp.asarray(mean, table_dtype)
                 self._diff_orbit_idx = jnp.asarray(oflat, jnp.int32)
+                # solver-storage subgroup (no z-mirror): full-group orbits
+                # refine into subgroup orbits, so one static take maps the
+                # gathered channels onto the storage channels
+                osub, nsub = _diff_pair_orbits(self.scheme, with_mz=False)
+                sub2full = np.zeros(nsub, np.int32)
+                nf = self.scheme.ndiff
+                for s in range(nf):
+                    for d in range(nf):
+                        sub2full[osub[s, d]] = orbit[s, d]
+                self._solver_orbit_idx = osub  # (ndiff, ndiff) static
+                self._sub2full = jnp.asarray(sub2full)
         except Exception:
             self._diff_orbit_idx = None
+        if self._diff_orbit_idx is None:
+            self._solver_orbit_idx = None
 
     # ------------------------------------------------------------------
     def _slice_angles(self, table, phi_deg, theta_deg):
@@ -234,6 +250,15 @@ class OptProp:
             tbl = self._diff2diff.reshape(self._diff2diff.shape[:4] + (nd * nd,))
             c = self._interp(tbl, fr)
         return c.reshape((nd, nd) + c.shape[1:])
+
+    def diff_coeffs_orbit(self, tauz, w0, g, aspect) -> jnp.ndarray:
+        """diff2diff in solver-orbit channel form: (norb,) + B, where
+        norb are the (src, dst) pair orbits of the no-z-mirror subgroup
+        (see `operators.OrbitCoeff`).  Requires a symmetrized table
+        (`_solver_orbit_idx is not None`)."""
+        fr = self._fracs(self._diff_grids, tauz, w0, aspect, g)
+        c = self._interp(self._diff2diff_orb, fr)  # (norb16,) + B
+        return jnp.take(c, self._sub2full, axis=0)  # (norb_sub,) + B
 
 
 def check_energy_conservation(coeff_src_dst: jnp.ndarray, extra=None, tol: float = 1e-3) -> jnp.ndarray:

@@ -83,7 +83,9 @@ def calc_flx_div(
         abso = abso + jnp.einsum("skij,skij->kij", src, cdiv)
 
     src = gather_diff_src(scheme, ediff)
-    cdiv = jnp.clip(1.0 - coeffs.diff2diff.astype(ireals).sum(axis=1), 0.0, 1.0)
+    from tenstream_tpu.pprts.operators import diff_dst_sums
+
+    cdiv = jnp.clip(1.0 - diff_dst_sums(coeffs.diff2diff, ireals), 0.0, 1.0)
     # 1-D layers: cdiv = 1 - a11 - a12 for top streams, zero for sides
     ntop = scheme.difftop.dof
     cdiv_1d_top = jnp.clip(1.0 - a11 - a12, 0.0, 1.0)

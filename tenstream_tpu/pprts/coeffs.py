@@ -75,6 +75,20 @@ def _onedee_blocks(scheme: StreamScheme, a11, a12, a13, a23, a33):
     return dir2dir, dir2diff, diff2diff
 
 
+def _onedee_diff_orbit(scheme: StreamScheme, orbit_idx: np.ndarray, norb: int, a11, a12):
+    """The 1-D diff2diff blocks of `_onedee_blocks` in orbit-channel
+    form: every top-pair orbit gets the same a11/a12 for all its group
+    images (the blocks ARE orbit-consistent under the no-z-mirror
+    subgroup), side channels stay zero."""
+    shp = a11.shape
+    inv = scheme.diff_inv_dof()
+    orb = jnp.zeros((norb,) + shp, a11.dtype)
+    for d in range(scheme.difftop.dof):
+        orb = orb.at[int(orbit_idx[d, d])].set(a11)
+        orb = orb.at[int(orbit_idx[int(inv[d]), d])].set(a12)
+    return orb
+
+
 def fold_thermal_emission(a11, a12, btop, bbot):
     """Fold per-layer thermal emission (btop up at each layer top, bbot
     down at each bottom, emissivity already applied) through the stack
@@ -233,11 +247,17 @@ def assemble_coeffs(
     need_dir: bool,
     use_zdun: bool = False,
     z_slab: int = 0,
+    orbit: bool = False,
 ) -> Tuple[CoeffFields, Tuple[jnp.ndarray, ...]]:
     """Build the coefficient fields and the eddington coefficient set.
 
     z_slab > 0 evaluates the LUT lookups z-slab-wise (see `_zslab_map`)
     to bound assembly temp memory on large grids; 0 = one batched call.
+
+    orbit=True stores diff2diff as `operators.OrbitCoeff` (one channel
+    per symmetry-subgroup (src, dst) orbit, 24 instead of 100 for 3_10)
+    — 4.2x less assembly write traffic and per-iteration operator read
+    traffic; requires a symmetrized LUT (`opp._solver_orbit_idx`).
 
     Returns (CoeffFields, (a11, a12, a13, a23, a33)).
     """
@@ -269,19 +289,25 @@ def assemble_coeffs(
             return jax.lax.slice_in_dim(x, int(idx3d[0]), int(idx3d[-1]) + 1, axis=0)
         return jnp.take(x, jnp.asarray(idx3d), axis=0)
 
-    def _embed(full, part):
+    def _embed(full, part, zax: int = 2):
         """Write the 3-D-layer block into the full-z analytic field."""
         if contig:
-            return jax.lax.dynamic_update_slice_in_dim(full, part, int(idx3d[0]), axis=2)
-        return full.at[:, :, jnp.asarray(idx3d)].set(part)
+            return jax.lax.dynamic_update_slice_in_dim(full, part, int(idx3d[0]), axis=zax)
+        if zax == 2:
+            return full.at[:, :, jnp.asarray(idx3d)].set(part)
+        return full.at[:, jnp.asarray(idx3d)].set(part)
 
     tz_r, w0_r, g_r, asp_r = (_restrict(x) for x in (tauz, w0, g, aspect))
     nz_r = tz_r.shape[0]
 
+    if orbit and getattr(opp, "_solver_orbit_idx", None) is None:
+        raise ValueError("orbit coefficient storage needs a symmetrized LUT")
+    diff_lookup = opp.diff_coeffs_orbit if orbit else opp.diff_coeffs
+
     if z_slab and 0 < z_slab < nz_r:
         if want_dir:
             def lookup(tz, w, gg, asp):
-                ff = opp.diff_coeffs(tz, w, gg, asp)
+                ff = diff_lookup(tz, w, gg, asp)
                 dd, df = opp.dir_coeffs(
                     tz, w, gg, asp, sun.symmetry_phi, sun.theta,
                     switch_x=sun.switch_x, switch_y=sun.switch_y,
@@ -291,11 +317,11 @@ def assemble_coeffs(
             c_ff, dd, df = _zslab_map(lookup, (tz_r, w0_r, g_r, asp_r), nz_r, z_slab)
         else:
             (c_ff,) = _zslab_map(
-                lambda tz, w, gg, asp: (opp.diff_coeffs(tz, w, gg, asp),),
+                lambda tz, w, gg, asp: (diff_lookup(tz, w, gg, asp),),
                 (tz_r, w0_r, g_r, asp_r), nz_r, z_slab,
             )
     else:
-        c_ff = opp.diff_coeffs(tz_r, w0_r, g_r, asp_r)  # (s,d,nz_r,Nx,Ny)
+        c_ff = diff_lookup(tz_r, w0_r, g_r, asp_r)  # (s,d,nz_r,Nx,Ny) | (norb,nz_r,Nx,Ny)
         if want_dir:
             dd, df = opp.dir_coeffs(
                 tz_r, w0_r, g_r, asp_r, sun.symmetry_phi, sun.theta,
@@ -303,20 +329,29 @@ def assemble_coeffs(
             )
 
     dd1, df1, ff1 = _onedee_blocks(scheme, a11, a12, a13, a23, a33)
+    if orbit:
+        oidx = opp._solver_orbit_idx
+        ff1 = _onedee_diff_orbit(scheme, oidx, int(oidx.max()) + 1, a11, a12)
+    ff_zax = 1 if orbit else 2
     if idx3d is not None:
-        c_ff = _embed(ff1, c_ff)
+        c_ff = _embed(ff1, c_ff, zax=ff_zax)
         c_dd = c_df = None
         if want_dir:
             c_dd = _embed(dd1, dd)
             c_df = _embed(df1, df)
     else:
         mask = jnp.asarray(l1d, bool)[None, None, :, None, None]
-        c_ff = jnp.where(mask, ff1, c_ff)
+        mask_ff = mask[0] if orbit else mask
+        c_ff = jnp.where(mask_ff, ff1, c_ff)
         c_dd = c_df = None
         if want_dir:
             c_dd = jnp.where(mask, dd1, dd)
             c_df = jnp.where(mask, df1, df)
 
+    if orbit:
+        from tenstream_tpu.pprts.operators import OrbitCoeff
+
+        c_ff = OrbitCoeff(c_ff, opp._solver_orbit_idx)
     return CoeffFields(c_dd, c_df, c_ff), (a11, a12, a13, a23, a33)
 
 

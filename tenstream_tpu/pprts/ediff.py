@@ -34,7 +34,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tenstream_tpu.pprts.operators import add_surface_reflection, diffuse_scatter
+from tenstream_tpu.pprts.operators import (
+    OrbitCoeff,
+    add_surface_reflection,
+    diffuse_scatter,
+)
 from tenstream_tpu.streams import StreamScheme
 
 
@@ -57,6 +61,8 @@ def _make_apply(scheme, coeff, albedo2d, use_pallas: bool, shape):
         prepare_coeff_pallas,
     )
 
+    if isinstance(coeff, OrbitCoeff):  # pallas kernel wants the dense field
+        coeff = coeff.full()
     cprep = prepare_coeff_pallas(coeff)
     tx = _pick_tx(shape[2])
     interp = jax.default_backend() != "tpu"  # interpret off-TPU
@@ -99,10 +105,16 @@ def vertical_line_solve(
     # full precision for the tridiagonal elimination even when the coeff
     # field is stored compressed (bf16)
     f32 = jnp.float32
-    a_dn = coeff[d_dn, d_dn].astype(f32)  # (Nz, Nx, Ny): src Edn -> dst Edn
-    b_dn = coeff[d_up, d_dn].astype(f32)  # src Eup -> dst Edn
-    a_up = coeff[d_up, d_up].astype(f32)
-    b_up = coeff[d_dn, d_up].astype(f32)
+    if isinstance(coeff, OrbitCoeff):
+        a_dn = coeff.entry(d_dn, d_dn).astype(f32)
+        b_dn = coeff.entry(d_up, d_dn).astype(f32)
+        a_up = coeff.entry(d_up, d_up).astype(f32)
+        b_up = coeff.entry(d_dn, d_up).astype(f32)
+    else:
+        a_dn = coeff[d_dn, d_dn].astype(f32)  # (Nz, Nx, Ny): src Edn -> dst Edn
+        b_dn = coeff[d_up, d_dn].astype(f32)  # src Eup -> dst Edn
+        a_up = coeff[d_up, d_up].astype(f32)
+        b_up = coeff[d_dn, d_up].astype(f32)
     r_dn = r[d_dn]  # (Nz+1, Nx, Ny)
     r_up = r[d_up]
 

@@ -25,10 +25,107 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tenstream_tpu.streams import StreamScheme
+
+
+@jax.tree_util.register_pytree_node_class
+class OrbitCoeff:
+    """Diffuse (src, dst) coefficient field stored as ONE channel per
+    orbit of the solver symmetry subgroup {x-mirror, y-mirror, x<->y}
+    (24 channels instead of ndiff^2 = 100 for 3_10).
+
+    Symmetrized LUT tables repeat each coefficient over its cube-group
+    orbit, so the assembled per-cell field carries 4.2x redundancy; this
+    wrapper keeps the compact form end-to-end — the fields the BiCGStab
+    operator re-reads EVERY iteration shrink from 6.2 GB to 1.5 GB at the
+    BASELINE 256^2x128 scale, and assembly writes shrink by the same
+    factor.  The z-mirror is deliberately NOT in the subgroup: the
+    atm-collapse super-layer's adding-folded blocks are up/down
+    asymmetric (Rtop != Rbot).
+
+    `idx[src, dst]` is the static orbit id; consumers expand lazily
+    (`full()`, fused into the einsum by XLA) or use the static-index
+    helpers (`entry`, `dst_sums`).
+    """
+
+    def __init__(self, orb: jnp.ndarray, idx: np.ndarray):
+        self.orb = orb  # (norb, Nz, Nx, Ny)
+        self.idx = np.asarray(idx, np.int64)  # (ndiff, ndiff) static
+
+    def tree_flatten(self):
+        return (self.orb,), (self.idx.tobytes(), self.idx.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buf, shape = aux
+        return cls(children[0], np.frombuffer(buf, np.int64).reshape(shape))
+
+    @property
+    def dtype(self):
+        return self.orb.dtype
+
+    @property
+    def shape(self):
+        nf = self.idx.shape[0]
+        return (nf, nf) + tuple(self.orb.shape[1:])
+
+    def astype(self, dt):
+        return OrbitCoeff(self.orb.astype(dt), self.idx)
+
+    def full(self) -> jnp.ndarray:
+        """Expanded (ndiff, ndiff, Nz, Nx, Ny) view (static-index take —
+        XLA fuses it into the consuming einsum, no materialized copy)."""
+        nf = self.idx.shape[0]
+        e = jnp.take(self.orb, jnp.asarray(self.idx.ravel(), jnp.int32), axis=0)
+        return e.reshape((nf, nf) + tuple(self.orb.shape[1:]))
+
+    def entry(self, s: int, d: int) -> jnp.ndarray:
+        """Single (src, dst) coefficient field (Nz, Nx, Ny)."""
+        return self.orb[int(self.idx[s, d])]
+
+    def dst_sums(self, dtype=None) -> jnp.ndarray:
+        """sum over dst per src (== expanded .astype(dtype).sum(axis=1)),
+        via a static per-orbit count matrix."""
+        norb = self.orb.shape[0]
+        nf = self.idx.shape[0]
+        R = np.zeros((nf, norb), np.float32)
+        for s in range(nf):
+            for d in range(nf):
+                R[s, self.idx[s, d]] += 1.0
+        orb = self.orb if dtype is None else self.orb.astype(dtype)
+        return jnp.einsum("so,o...->s...", jnp.asarray(R, orb.dtype), orb)
+
+    def set_layer0(self, block_full: jnp.ndarray) -> "OrbitCoeff":
+        """Overwrite layer 0 with a full (ndiff, ndiff, Nx, Ny) block
+        (must itself be orbit-consistent, e.g. the atm-collapse folded
+        blocks); picks the orbit-representative entries."""
+        norb = self.orb.shape[0]
+        reps = [None] * norb
+        nf = self.idx.shape[0]
+        for s in range(nf):
+            for d in range(nf):
+                o = int(self.idx[s, d])
+                if reps[o] is None:
+                    reps[o] = (s, d)
+        orb0 = jnp.stack([block_full[s, d] for (s, d) in reps], axis=0)
+        return OrbitCoeff(self.orb.at[:, 0].set(orb0.astype(self.orb.dtype)), self.idx)
+
+
+def diff_coeff_full(coeff) -> jnp.ndarray:
+    """Expanded (ndiff, ndiff, ...) array for either storage form."""
+    return coeff.full() if isinstance(coeff, OrbitCoeff) else coeff
+
+
+def diff_dst_sums(coeff, dtype=None) -> jnp.ndarray:
+    """coeff.astype(dtype).sum(axis=1) for either storage form."""
+    if isinstance(coeff, OrbitCoeff):
+        return coeff.dst_sums(dtype)
+    c = coeff if dtype is None else coeff.astype(dtype)
+    return c.sum(axis=1)
 
 
 def gather_diff_src(scheme: StreamScheme, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +191,8 @@ def diffuse_scatter(
     surface reflection closure.
     """
     src = gather_diff_src(scheme, x)
-    contrib = jnp.einsum("sdkij,skij->dkij", coeff.astype(x.dtype), src)
+    cfull = diff_coeff_full(coeff)
+    contrib = jnp.einsum("sdkij,skij->dkij", cfull.astype(x.dtype), src)
     out = scatter_diff_dst(scheme, contrib, x.shape[1] - 1)
     if albedo2d is not None:
         out = add_surface_reflection(scheme, out, x, albedo2d)

@@ -270,6 +270,7 @@ class PprtsSolver:
             and (self._buildings.planck is not None
                  or (lthermal and self._buildings.temp is not None)),
             self.options.get_int("atm_collapse", 0),
+            self.options.get_bool("pprts_orbit_coeffs", True),
             id(getattr(self, "_mesh", None)),
         )
         if key in self._solve_cache:
@@ -358,6 +359,15 @@ class PprtsSolver:
         if ncells > 4_000_000:
             auto_slab = max(1, int(1_000_000 // max(grid.nx * grid.ny, 1)))
         z_slab = self.options.get_int("pprts_assembly_z_slab", auto_slab)
+        # orbit-channel diff2diff storage (operators.OrbitCoeff): 4.2x
+        # smaller assembled field and per-iteration operator reads.
+        # Buildings mask individual per-cell entries (breaks the orbit
+        # symmetry), so they force the dense form.
+        orbit_coeffs = (
+            self.options.get_bool("pprts_orbit_coeffs", True)
+            and buildings is None
+            and getattr(opp, "_solver_orbit_idx", None) is not None
+        )
 
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0,
@@ -415,7 +425,7 @@ class PprtsSolver:
 
             coeffs, (a11, a12, a13, a23, a33) = assemble_coeffs(
                 scheme, opp, kabs, ksca, g, dz3d, grid.dx, l1d,
-                sun, need_dir=lsolar, z_slab=z_slab,
+                sun, need_dir=lsolar, z_slab=z_slab, orbit=orbit_coeffs,
             )
             if K > 1:
                 # overwrite the super-layer's analytic blocks with the
@@ -426,7 +436,8 @@ class PprtsSolver:
                 dd0, df0, ff0 = onedee_blocks_collapsed(scheme, folded)
                 from tenstream_tpu.pprts.coeffs import CoeffFields as _CFc
 
-                ff_n = coeffs.diff2diff.at[:, :, 0].set(ff0)
+                ff_n = (coeffs.diff2diff.set_layer0(ff0) if orbit_coeffs
+                        else coeffs.diff2diff.at[:, :, 0].set(ff0))
                 dd_n = df_n = None
                 if coeffs.dir2dir is not None:
                     dd_n = coeffs.dir2dir.at[:, :, 0].set(dd0)

@@ -61,7 +61,9 @@ def thermal_source(
 
     # per-dof emissivity from coefficient row sums (reciprocity),
     # reference :4906-4950: emis = 1 - sum(diff2diff(src, :))
-    emis = jnp.clip(1.0 - diff2diff.sum(axis=1), 0.0, 1.0)  # (ndiff, Nz, Nx, Ny)
+    from tenstream_tpu.pprts.operators import diff_dst_sums
+
+    emis = jnp.clip(1.0 - diff_dst_sums(diff2diff, None), 0.0, 1.0)  # (ndiff, Nz, Nx, Ny)
 
     wtop = scheme.difftop_weights()
     wside = scheme.diffside_weights()
