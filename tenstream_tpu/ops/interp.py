@@ -30,7 +30,15 @@ def fractional_index(grid: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     grid = jnp.asarray(grid)
     n = grid.shape[0]
     x = jnp.clip(x, grid[0], grid[-1])
-    i = jnp.clip(jnp.searchsorted(grid, x, side="right") - 1, 0, n - 2)
+    # method: jnp.searchsorted's default "scan" lowers the binary search
+    # to a serialized XLA while loop — measured 30 ms PER CALL on a
+    # (8,23,64,64) band-chunk batch (4 calls = 36% of a warm solve
+    # program).  "compare_all" is one broadcast compare + reduce, fully
+    # vectorized: 82x faster for the <=31-entry LUT axes.  Fall back to
+    # the O(B log n) scan only for grids large enough that the O(B n)
+    # compare would dominate.
+    method = "compare_all" if n <= 256 else "scan"
+    i = jnp.clip(jnp.searchsorted(grid, x, side="right", method=method) - 1, 0, n - 2)
     g0 = jnp.take(grid, i)
     g1 = jnp.take(grid, i + 1)
     frac = (x - g0) / jnp.maximum(g1 - g0, jnp.finfo(ireals).tiny)

@@ -108,7 +108,12 @@ def solve_mcdmda(
     def cell_of(px, py, pz):
         i = jnp.clip((px // dx).astype(jnp.int32), 0, nx - 1)
         j = jnp.clip((py // dy).astype(jnp.int32), 0, ny - 1)
-        k = jnp.clip(jnp.searchsorted(zlev, pz, side="right") - 1, 0, nz - 1)
+        # compare_all: vectorized bucketing (the default "scan" method
+        # lowers to a serialized while loop per MC step — see
+        # ops/interp.py:fractional_index)
+        k = jnp.clip(
+            jnp.searchsorted(zlev, pz, side="right", method="compare_all") - 1, 0, nz - 1
+        )
         return k, i, j
 
     def cond(state):
