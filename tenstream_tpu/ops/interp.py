@@ -39,8 +39,18 @@ def fractional_index(grid: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     # compare would dominate.
     method = "compare_all" if n <= 256 else "scan"
     i = jnp.clip(jnp.searchsorted(grid, x, side="right", method=method) - 1, 0, n - 2)
-    g0 = jnp.take(grid, i)
-    g1 = jnp.take(grid, i + 1)
+    if n <= 256:
+        # grid-value lookup via one-hot dot products: jnp.take of a tiny
+        # grid with a huge index batch lowers to a serialized gather
+        # (traced at ~6 ms per take on a (8,23,64,64) batch — 2 takes x
+        # 4 axes per assembly); the (B, n) one-hot contraction is a
+        # fully vectorized elementwise+reduce.
+        oh = (i[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(grid.dtype)
+        g0 = oh @ grid
+        g1 = oh @ jnp.roll(grid, -1)  # row i -> grid[i+1]; i <= n-2 always
+    else:
+        g0 = jnp.take(grid, i)
+        g1 = jnp.take(grid, i + 1)
     frac = (x - g0) / jnp.maximum(g1 - g0, jnp.finfo(ireals).tiny)
     return i.astype(ireals) + frac
 
