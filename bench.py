@@ -231,12 +231,13 @@ def main():
     dt = float(np.mean(times))
     cols_per_s = NX * NY / dt
 
-    # honesty diagnostic: a PERTURBED time-stepping regime (the cloud
-    # field advects ~one cell per step) so the warm starts have real
-    # work to do — an identical-scene re-solve converges at 0 iterations
-    # by construction and says nothing about per-step solve cost.
-    # Printed to stderr; the headline metric keeps the identical-scene
-    # semantics of earlier rounds for comparability.
+    # PERTURBED time-stepping regime (the cloud field advects ~one cell
+    # per step) so the warm starts have real work to do — an
+    # identical-scene re-solve converges at 0 iterations by construction
+    # and says nothing about per-step solve cost.  THIS is the headline
+    # metric (round-3 change): it cannot be satisfied by cache hits.
+    # The identical-scene number stays on stderr for cross-round
+    # comparability (r01/r02 JSONs reported it).
     t_pert = []
     for k in range(max(2, REPS)):
         lwc = np.roll(lwc, 1, axis=1 + (k % 2))
@@ -288,9 +289,14 @@ def main():
         f"diffuse solver stalled above 10x tolerance in chunks {stalled} "
         "— bench number would be dishonest"
     )
+    print(
+        f"# identical-scene warm re-solve (legacy r01/r02 headline): "
+        f"{dt:.2f}s/solve = {cols_per_s:.1f} columns/s",
+        file=sys.stderr,
+    )
     print(json.dumps({
-        "metric": "ecckd_lwsw_columns_per_s_per_chip",
-        "value": round(cols_per_s, 2),
+        "metric": "ecckd_lwsw_perturbed_stepping_columns_per_s_per_chip",
+        "value": round(NX * NY / dt_p, 2),
         "unit": "columns/s",
         "vs_baseline": 1.0,
     }))

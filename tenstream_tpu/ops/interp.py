@@ -36,22 +36,27 @@ def fractional_index(grid: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     # program).  "compare_all" is one broadcast compare + reduce, fully
     # vectorized: 82x faster for the <=31-entry LUT axes.  Fall back to
     # the O(B log n) scan only for grids large enough that the O(B n)
-    # compare would dominate.
-    method = "compare_all" if n <= 256 else "scan"
+    # compare would dominate (crossover measured on <=31-entry axes; 64
+    # is a conservative cap so the (B, n) one-hot temps stay small).
+    method = "compare_all" if n <= 64 else "scan"
     i = jnp.clip(jnp.searchsorted(grid, x, side="right", method=method) - 1, 0, n - 2)
-    if n <= 256:
+    if n <= 64:
         # grid-value lookup via one-hot dot products: jnp.take of a tiny
         # grid with a huge index batch lowers to a serialized gather
         # (traced at ~6 ms per take on a (8,23,64,64) batch — 2 takes x
         # 4 axes per assembly); the (B, n) one-hot contraction is a
-        # fully vectorized elementwise+reduce.
+        # fully vectorized elementwise+reduce.  sum(oh*grid) rather than
+        # oh @ grid: the dot could ride a bf16 MXU pass under DEFAULT
+        # matmul precision and round axis values like w0=0.99999, which
+        # must stay bit-exact for frac to land in [0, 1].
         oh = (i[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(grid.dtype)
-        g0 = oh @ grid
-        g1 = oh @ jnp.roll(grid, -1)  # row i -> grid[i+1]; i <= n-2 always
+        g0 = jnp.sum(oh * grid, axis=-1)
+        g1 = jnp.sum(oh * jnp.roll(grid, -1), axis=-1)  # row i -> grid[i+1]
     else:
         g0 = jnp.take(grid, i)
         g1 = jnp.take(grid, i + 1)
     frac = (x - g0) / jnp.maximum(g1 - g0, jnp.finfo(ireals).tiny)
+    frac = jnp.clip(frac, 0.0, 1.0)  # defensive: exact-arithmetic invariant
     return i.astype(ireals) + frac
 
 
