@@ -178,6 +178,40 @@ def scatter_diff_dst(scheme: StreamScheme, contrib: jnp.ndarray, nz: int) -> jnp
     return jnp.stack(out_rows, axis=0)
 
 
+def _orbit_contrib(coeff: "OrbitCoeff", src: jnp.ndarray) -> jnp.ndarray:
+    """contrib[d] = sum_s orb[idx[s, d]] * src[s], via STATIC slicing of
+    the orbit channels — never expanding to the dense (ndiff^2, ...)
+    field.
+
+    The expansion-based path (`full()` + einsum) relies on XLA fusing
+    the `take` into the consumer; inside a `lax.while_loop` XLA instead
+    hoists the loop-invariant expansion OUT of the loop and materializes
+    the full (ndiff^2, Nz, Nx, Ny) field — twice, with a layout copy
+    (measured at 256^2x113: 2 x 2.8 GB per band, the round-2
+    BASELINE-scale OOM anatomy, `ROUND2_NOTES.md` item 3).  Static
+    slices give XLA nothing to hoist: the while-loop body reads the
+    compact (norb, ...) field directly.
+
+    Sources sharing an orbit for the same destination are summed BEFORE
+    the multiply (fewer FMAs and fewer coefficient re-reads).
+    """
+    nf = coeff.idx.shape[0]
+    rows = []
+    for d in range(nf):
+        groups: dict = {}
+        for s in range(nf):
+            groups.setdefault(int(coeff.idx[s, d]), []).append(s)
+        acc = None
+        for o, ss in sorted(groups.items()):
+            ssum = src[ss[0]]
+            for s in ss[1:]:
+                ssum = ssum + src[s]
+            term = coeff.orb[o].astype(src.dtype) * ssum
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
 def diffuse_scatter(
     scheme: StreamScheme,
     coeff: jnp.ndarray,
@@ -186,13 +220,15 @@ def diffuse_scatter(
 ) -> jnp.ndarray:
     """S(x): one application of the diffuse transport scatter.
 
-    coeff: (ndiff, ndiff, Nz, Nx, Ny) [src, dst]; x: (ndiff, Nz+1, Nx, Ny).
-    Returns the same shape as x.  With `albedo2d` (Nx, Ny), includes the
-    surface reflection closure.
+    coeff: (ndiff, ndiff, Nz, Nx, Ny) [src, dst] or `OrbitCoeff`;
+    x: (ndiff, Nz+1, Nx, Ny).  Returns the same shape as x.  With
+    `albedo2d` (Nx, Ny), includes the surface reflection closure.
     """
     src = gather_diff_src(scheme, x)
-    cfull = diff_coeff_full(coeff)
-    contrib = jnp.einsum("sdkij,skij->dkij", cfull.astype(x.dtype), src)
+    if isinstance(coeff, OrbitCoeff):
+        contrib = _orbit_contrib(coeff, src)
+    else:
+        contrib = jnp.einsum("sdkij,skij->dkij", coeff.astype(x.dtype), src)
     out = scatter_diff_dst(scheme, contrib, x.shape[1] - 1)
     if albedo2d is not None:
         out = add_surface_reflection(scheme, out, x, albedo2d)

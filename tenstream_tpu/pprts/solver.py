@@ -178,6 +178,9 @@ class PprtsSolver:
             _jax.config.update("jax_debug_nans", True)
         self.sun: Optional[SunInfo] = None
         self.solutions: Dict[int, Solution] = {}
+        # uid -> (niter, res, tol) device arrays awaiting the deferred
+        # convergence check (see `check_convergence`)
+        self._pending_convergence: Dict[Any, Tuple] = {}
         self._atm: Dict[str, Any] = {}
         self._solve_cache: Dict[Tuple, Any] = {}
         twostr_ratio = self.options.get_float("twostr_ratio", 2.0)
@@ -641,27 +644,53 @@ class PprtsSolver:
 
         # Reference `-accept_incomplete_solve` (`src/pprts_explicit.F90:
         # 134-136`): by default it ABORTS when the iteration hits max_it
-        # without converging.  Here acceptance is the default (the strict
-        # check forces a device sync per solve, which would serialize the
-        # async band pipeline); set accept_incomplete_solve=False for the
-        # reference's strict behavior.  bench.py independently fails on
-        # any maxiter hit or stalled residual, so the regression class
-        # stays loud.
-        if not self.options.get_bool("accept_incomplete_solve", True):
-            max_it = self.options.get_int("ksp_max_it", 3000)
+        # without converging.  We match that default — but DEFERRED: the
+        # convergence metadata stays device-side here (an immediate host
+        # check would force a device sync per solve and serialize the
+        # async band pipeline) and is checked at the next natural sync
+        # point — `get_result` for mono solves, end-of-call for
+        # `specint_pprts` (one sync per spectral call, not per band).
+        # Set accept_incomplete_solve=True to tolerate stalled iterates.
+        self._pending_convergence[uid] = (niter, res, tol)
+        self.solutions[uid] = self._maybe_compress(sol)
+        return sol
+
+    def check_convergence(self, uid=None) -> None:
+        """Host-side convergence check of pending solve(s) (reference
+        abort-on-incomplete default, `src/pprts_explicit.F90:134-136`).
+
+        Called from `get_result` (mono path) and the end of
+        `specint_pprts`; a no-op when `accept_incomplete_solve=True`.
+        Raises with the uid/band identity of every failed solve.
+        """
+        if self.options.get_bool("accept_incomplete_solve", False):
+            return
+        max_it = self.options.get_int("ksp_max_it", 3000)
+        keys = list(self._pending_convergence) if uid is None else (
+            [uid] if uid in self._pending_convergence else []
+        )
+        failed = []
+        for k in keys:
+            niter, res, tol = self._pending_convergence.pop(k)
             niter_h = int(np.max(np.asarray(niter)))
             res_h = float(np.max(np.asarray(res)))
             tol_h = float(np.max(np.asarray(tol)))
-            if niter_h >= max_it or res_h > 10.0 * tol_h:
-                raise RuntimeError(
-                    f"diffuse solve did not converge (uid={uid!r}, "
-                    f"niter={niter_h}/max_it={max_it}, residual {res_h:.3e} "
-                    f"vs tol {tol_h:.3e}); the BiCGStab stall exit accepted "
-                    f"a bad iterate — set accept_incomplete_solve=True to tolerate"
-                )
-
-        self.solutions[uid] = self._maybe_compress(sol)
-        return sol
+            # the residual is the failure signal: niter alone can reach
+            # max_it legitimately (BiCGStab + polish counts are summed)
+            # while a stalled solve always leaves res >> tol
+            if res_h > 10.0 * tol_h or not np.isfinite(res_h):
+                failed.append((k, niter_h, res_h, tol_h))
+        if failed:
+            detail = "; ".join(
+                f"uid={k!r}: niter={n}/max_it={max_it}, residual {r:.3e} "
+                f"vs tol {t:.3e}" for (k, n, r, t) in failed
+            )
+            raise RuntimeError(
+                "diffuse solve did not converge (" + detail + ") — a "
+                "stalled iterate was accepted by the solver's stall exit; "
+                "set accept_incomplete_solve=True to tolerate (reference "
+                "-accept_incomplete_solve semantics)"
+            )
 
     def _maybe_compress(self, sol: Solution) -> Solution:
         """bf16-compress cached solutions (reference `compress_solution`,
@@ -838,6 +867,10 @@ class PprtsSolver:
                 eup = eup * mu
                 abso = abso * mu
             return S, edn, eup, abso
+
+        # deferred strict-convergence check: this is the natural sync
+        # point (the caller is about to materialize fluxes anyway)
+        self.check_convergence()
 
         sol = self.solutions[uid]
         s = self.scheme

@@ -416,6 +416,10 @@ def specint_pprts(
                 kabs_b, ksca_b, g_b, a2d,
                 planck_b, psrfc_b, toa_b, x0, om0, pb_b,
             )
+            # deferred strict-convergence bookkeeping: metadata stays
+            # device-side; ONE host sync at the end of this spectral call
+            # checks every chunk (reference abort-on-incomplete default)
+            solver._pending_convergence[cache_key] = (niter_b, res_b, tol_b)
             from tenstream_tpu.pprts.solver import Solution
 
             # Warm-start cache: only ediff (the x0 initial guess) and
@@ -534,6 +538,11 @@ def specint_pprts(
     if lthermal:
         _state["solar"] = False
         run_chunks(backend.thermal(atm), False, "thermal")
+
+    # ONE deferred convergence sync for the whole spectral call
+    # (reference `-accept_incomplete_solve` abort default; the per-chunk
+    # niter/res/tol were recorded device-side in the band loop)
+    solver.check_convergence()
 
     # convert accumulated [W] states to [W/m2]
     diff_scale = solver._diff_scale_to_wm2()
