@@ -53,14 +53,23 @@ def calc_flx_div(
     sun: Optional[SunInfo] = None,
     edir: Optional[jnp.ndarray] = None,  # [W]
     b_thermal: Optional[jnp.ndarray] = None,  # [W]
+    cdiv_dir: Optional[jnp.ndarray] = None,  # (ndir, Nz, Nx, Ny)
 ) -> jnp.ndarray:
-    """Absorbed power per cell / volume -> [W/m3]."""
+    """Absorbed power per cell / volume -> [W/m3].
+
+    `cdiv_dir` is the per-source direct coefficient divergence
+    1 - sum_dst(dir2dir) - sum_dst(dir2diff), REDUCED before the diffuse
+    iteration: passing it (ndir channels) instead of reading
+    coeffs.dir2dir/dir2diff here keeps the full (ndir x (ndir+ndiff))
+    fields from staying live across the whole diffuse while-loop —
+    2.3 GB of the BASELINE-scale (256^2x113, band_chunk=2) peak.
+    """
     l1d_mask = jnp.asarray(l1d, bool)[:, None, None]
     abso = jnp.zeros(volumes.shape, ireals)
 
-    if edir is not None and coeffs.dir2dir is not None:
+    if edir is not None and (cdiv_dir is not None or coeffs.dir2dir is not None):
         src = gather_dir_src(scheme, edir, sun.xinc, sun.yinc)
-        cdiv = jnp.clip(
+        cdiv = cdiv_dir if cdiv_dir is not None else jnp.clip(
             1.0
             - coeffs.dir2dir.astype(ireals).sum(axis=1)
             - coeffs.dir2diff.astype(ireals).sum(axis=1),

@@ -196,7 +196,7 @@ def onedee_blocks_collapsed(scheme: StreamScheme, folded):
     return dir2dir, dir2diff, diff2diff
 
 
-def _zslab_map(fn, inputs, nz: int, z_slab: int):
+def _zslab_map(fn, inputs, nz: int, z_slab: int, out_nz=None, z_offset: int = 0):
     """Apply `fn` (slab-of-(zc,Nx,Ny)-fields -> tuple of (C.., zc,Nx,Ny)
     arrays) over z-slabs, writing into preallocated full-z buffers.
 
@@ -207,29 +207,41 @@ def _zslab_map(fn, inputs, nz: int, z_slab: int):
     fori_loop + dynamic_update_slice structure bounds the live set to
     ONE slab of temps plus the output buffers themselves.
     """
-    n_steps = (nz + z_slab - 1) // z_slab
-    pad = n_steps * z_slab - nz
-    padded = [jnp.concatenate([x, x[-pad:]], axis=0) if pad else x for x in inputs]
+    n_full = nz // z_slab
+    tail = nz - n_full * z_slab
 
-    out0 = jax.eval_shape(fn, *[x[:z_slab] for x in padded])
+    out0 = jax.eval_shape(fn, *[x[:z_slab] for x in inputs])
     zax = [o.ndim - 3 for o in out0]  # z is always 3rd-from-last
+    # EXACT-size output buffers: padding inputs to a slab multiple and
+    # slicing the outputs back kept BOTH the padded and the sliced copy
+    # of every coefficient field live at the slice point — measured
+    # +3.5 GB at 256^2x112 with z_slab=15 (113-prime-adjacent pad to
+    # 120).  The remainder layers run as ONE separate tail call instead
+    # (a second compiled instance of the lookup, zero extra buffers).
+    # out_nz/z_offset let the caller allocate the FULL-z field here and
+    # write the 3-D block at its final offset, so no separate restricted
+    # field + embed copy ever exists.
+    if out_nz is None:
+        out_nz = nz
     bufs = tuple(
-        jnp.zeros(o.shape[: ax] + (n_steps * z_slab,) + o.shape[ax + 1:], o.dtype)
+        jnp.zeros(o.shape[: ax] + (out_nz,) + o.shape[ax + 1:], o.dtype)
         for o, ax in zip(out0, zax)
     )
 
     def body(i, bufs):
-        sl = [jax.lax.dynamic_slice_in_dim(x, i * z_slab, z_slab, axis=0) for x in padded]
+        sl = [jax.lax.dynamic_slice_in_dim(x, i * z_slab, z_slab, axis=0) for x in inputs]
         outs = fn(*sl)
         return tuple(
-            jax.lax.dynamic_update_slice_in_dim(b, o, i * z_slab, axis=ax)
+            jax.lax.dynamic_update_slice_in_dim(b, o, z_offset + i * z_slab, axis=ax)
             for b, o, ax in zip(bufs, outs, zax)
         )
 
-    bufs = jax.lax.fori_loop(0, n_steps, body, bufs)
-    if pad:
+    bufs = jax.lax.fori_loop(0, n_full, body, bufs)
+    if tail:
+        outs = fn(*[x[n_full * z_slab:] for x in inputs])
         bufs = tuple(
-            jax.lax.slice_in_dim(b, 0, nz, axis=ax) for b, ax in zip(bufs, zax)
+            jax.lax.dynamic_update_slice_in_dim(b, o, z_offset + n_full * z_slab, axis=ax)
+            for b, o, ax in zip(bufs, outs, zax)
         )
     return bufs
 
@@ -313,13 +325,49 @@ def assemble_coeffs(
                     switch_x=sun.switch_x, switch_y=sun.switch_y,
                 )
                 return ff, dd, df
-
-            c_ff, dd, df = _zslab_map(lookup, (tz_r, w0_r, g_r, asp_r), nz_r, z_slab)
         else:
-            (c_ff,) = _zslab_map(
-                lambda tz, w, gg, asp: (diff_lookup(tz, w, gg, asp),),
-                (tz_r, w0_r, g_r, asp_r), nz_r, z_slab,
-            )
+            def lookup(tz, w, gg, asp):
+                return (diff_lookup(tz, w, gg, asp),)
+
+        if contig:
+            # full-z buffers written at the 3-D offset; the (small) 1-D
+            # regions get their analytic blocks computed ONLY on those
+            # layers and update-sliced in place — the old
+            # restricted-field + full-z-analytic + embed dance kept an
+            # extra full copy of every coefficient field live (measured
+            # ~3.5 GB at 256^2x112, band_chunk=2)
+            z0, z1 = int(idx3d[0]), int(idx3d[-1]) + 1
+            outs = _zslab_map(lookup, (tz_r, w0_r, g_r, asp_r), nz_r,
+                              z_slab, out_nz=nz, z_offset=z0)
+            c_ff = outs[0]
+            c_dd, c_df = (outs[1], outs[2]) if want_dir else (None, None)
+            ff_zax = 1 if orbit else 2
+            for r0, r1 in ((0, z0), (z1, nz)):
+                if r1 <= r0:
+                    continue
+                sl = slice(r0, r1)
+                dd1, df1, ff1 = _onedee_blocks(
+                    scheme, a11[sl], a12[sl], a13[sl], a23[sl], a33[sl]
+                )
+                if orbit:
+                    oidx = opp._solver_orbit_idx
+                    ff1 = _onedee_diff_orbit(
+                        scheme, oidx, int(oidx.max()) + 1, a11[sl], a12[sl]
+                    )
+                c_ff = jax.lax.dynamic_update_slice_in_dim(c_ff, ff1, r0, axis=ff_zax)
+                if want_dir:
+                    c_dd = jax.lax.dynamic_update_slice_in_dim(c_dd, dd1, r0, axis=2)
+                    c_df = jax.lax.dynamic_update_slice_in_dim(c_df, df1, r0, axis=2)
+            if orbit:
+                from tenstream_tpu.pprts.operators import OrbitCoeff
+
+                c_ff = OrbitCoeff(c_ff, opp._solver_orbit_idx)
+            return CoeffFields(c_dd, c_df, c_ff), (a11, a12, a13, a23, a33)
+
+        outs = _zslab_map(lookup, (tz_r, w0_r, g_r, asp_r), nz_r, z_slab)
+        c_ff = outs[0]
+        if want_dir:
+            dd, df = outs[1], outs[2]
     else:
         c_ff = diff_lookup(tz_r, w0_r, g_r, asp_r)  # (s,d,nz_r,Nx,Ny) | (norb,nz_r,Nx,Ny)
         if want_dir:

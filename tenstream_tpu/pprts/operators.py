@@ -288,7 +288,14 @@ def dir2diff_source(
     Returns b: (ndiff, Nz+1, Nx, Ny) [W].
     """
     src = gather_dir_src(scheme, edir, xinc, yinc)
-    contrib = jnp.einsum("sdkij,skij->dkij", dir2diff, src)
+    # unrolled over the (few) direct sources instead of einsum: the dot
+    # lowering transposes the (ndir, ndiff, Nz, Nx, Ny) operand into a
+    # (..., ndiff, ndir)-minor copy (measured 3x 1.66 GB at 256^2x113,
+    # band_chunk=2); static slices + broadcast multiplies fuse instead
+    contrib = None
+    for s in range(scheme.ndir):
+        t = dir2diff[s] * src[s][None]
+        contrib = t if contrib is None else contrib + t
     return scatter_diff_dst(scheme, contrib, edir.shape[1] - 1)
 
 

@@ -133,6 +133,11 @@ def _validate_optprops(kabs, ksca, g, planck) -> None:
     for name, x in fields.items():
         if isinstance(x, jax.core.Tracer):
             return  # inside jit: concrete checks impossible
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-host sharded input: this process only holds its own
+            # shards; validate those
+            x = np.concatenate([np.asarray(s.data).ravel()
+                                for s in x.addressable_shards])
         a = np.asarray(x)
         if not np.isfinite(a).all():
             raise ValueError(f"non-finite values in {name}")
@@ -241,7 +246,20 @@ class PprtsSolver:
             _validate_optprops(kabs, ksca, g, planck)
         if self.options.get_bool("pprts_delta_scale", ldelta_scaling):
             kabs, ksca, g = delta_scale(kabs, ksca, g)
-        a2d = jnp.full((self.grid.nx, self.grid.ny), albedo, ireals)
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            a2d = jnp.full((self.grid.nx, self.grid.ny), albedo, ireals)
+        else:
+            # multi-host SPMD: scalar-albedo field created collectively
+            # on the mesh so it can mix with global inputs in one jit
+            from jax.sharding import NamedSharding
+
+            from tenstream_tpu.parallel.mesh import field_spec
+
+            a2d = jnp.full(
+                (self.grid.nx, self.grid.ny), albedo, ireals,
+                device=NamedSharding(mesh, field_spec(0)),
+            )
         if albedo_2d is not None:
             a2d = jnp.asarray(albedo_2d, ireals)
         self._atm = dict(
@@ -357,10 +375,16 @@ class PprtsSolver:
         # large grids (see coeffs._zslab_map).  Auto: slabs of <=~1M
         # cells once the grid exceeds 4M cells; -pprts_assembly_z_slab
         # overrides (0 = force one batched call).
-        ncells = grid.nz * grid.nx * grid.ny
+        # slab size from the 3-D layer count (the LUT lookups only run on
+        # non-l1d layers), rounded so the slabs tile nz3 as evenly as
+        # possible — a ragged tail slab costs a second compiled lookup
+        # instance, a PADDED slab costs duplicated coefficient buffers
+        nz3 = int((~l1d).sum())
+        ncells = nz3 * grid.nx * grid.ny
         auto_slab = 0
         if ncells > 4_000_000:
-            auto_slab = max(1, int(1_000_000 // max(grid.nx * grid.ny, 1)))
+            n_steps = max(1, -(-ncells // 1_000_000))
+            auto_slab = max(1, -(-nz3 // n_steps))
         z_slab = self.options.get_int("pprts_assembly_z_slab", auto_slab)
         # orbit-channel diff2diff storage (operators.OrbitCoeff): 4.2x
         # smaller assembled field and per-iteration operator reads.
@@ -504,6 +528,19 @@ class PprtsSolver:
                 b = b + dir2diff_source(scheme, coeffs.dir2diff, edir, sun.xinc, sun.yinc)
                 b = b + direct_surface_reflection(scheme, edir, albedo2d)
 
+            # direct coefficient divergence for absorption, REDUCED here
+            # so the (ndir x ndir) and (ndir x ndiff) fields go dead
+            # before the diffuse while-loop (see calc_flx_div docstring)
+            cdiv_dir = None
+            if edir is not None and coeffs.dir2dir is not None:
+                cdiv_dir = jnp.clip(
+                    1.0
+                    - coeffs.dir2dir.astype(ireals).sum(axis=1)
+                    - coeffs.dir2diff.astype(ireals).sum(axis=1),
+                    0.0,
+                    1.0,
+                )
+
             if buildings is not None:
                 from tenstream_tpu.pprts.buildings import building_sources
 
@@ -573,6 +610,7 @@ class PprtsSolver:
                 dz3d * (grid.dx * grid.dy) if K > 1 else grid.volumes(),
                 l1d, kabs, dz3d,
                 a11, a12, sun=sun, edir=edir, b_thermal=b_th,
+                cdiv_dir=cdiv_dir,
             )
             return edir, ediff, abso, niter, omega, res, tol
 
@@ -618,11 +656,26 @@ class PprtsSolver:
         K = self.options.get_int("atm_collapse", 0)
         return self.grid.nz - (K - 1 if K > 1 else 0)
 
+    def _mesh_zeros(self, shape) -> jnp.ndarray:
+        """Zeros with trailing (Nx, Ny) dims, sharded onto the attached
+        mesh when one is set — required in multi-host SPMD, where an
+        unsharded process-local array cannot mix with global arrays in
+        one jitted call."""
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            return jnp.zeros(shape, ireals)
+        from jax.sharding import NamedSharding
+
+        from tenstream_tpu.parallel.mesh import field_spec
+
+        sh = NamedSharding(mesh, field_spec(len(shape) - 2))
+        return jnp.zeros(shape, ireals, device=sh)
+
     def _solve_mono(self, lthermal, lsolar, edirTOA, uid):
         atm = self._atm
         prev = self.solutions.get(uid)
-        x0 = prev.ediff.astype(ireals) if prev is not None else jnp.zeros(
-            (self.scheme.ndiff, self.nz_solve + 1, self.grid.nx, self.grid.ny), ireals
+        x0 = prev.ediff.astype(ireals) if prev is not None else self._mesh_zeros(
+            (self.scheme.ndiff, self.nz_solve + 1, self.grid.nx, self.grid.ny)
         )
         omega0 = prev.diff_omega if prev is not None else jnp.asarray(1.0, ireals)
 
@@ -630,14 +683,14 @@ class PprtsSolver:
         planck_bldg = (
             jnp.asarray(bld.planck, ireals)
             if bld is not None and bld.planck is not None
-            else jnp.zeros((self.grid.nz, self.grid.nx, self.grid.ny), ireals)
+            else self._mesh_zeros((self.grid.nz, self.grid.nx, self.grid.ny))
         )
         fn = self._solve_fn(lthermal and atm["planck"] is not None, lsolar, atm["planck_srfc"] is not None)
         with GLOBAL_LOG.scope("solve_pprts"):
             edir, ediff, abso, niter, omega, res, tol = fn(
                 atm["kabs"], atm["ksca"], atm["g"], atm["albedo2d"],
-                atm["planck"] if atm["planck"] is not None else jnp.zeros((self.grid.nz + 1, self.grid.nx, self.grid.ny), ireals),
-                atm["planck_srfc"] if atm["planck_srfc"] is not None else jnp.zeros((self.grid.nx, self.grid.ny), ireals),
+                atm["planck"] if atm["planck"] is not None else self._mesh_zeros((self.grid.nz + 1, self.grid.nx, self.grid.ny)),
+                atm["planck_srfc"] if atm["planck_srfc"] is not None else self._mesh_zeros((self.grid.nx, self.grid.ny)),
                 jnp.asarray(edirTOA, ireals), x0, omega0, planck_bldg,
             )
         sol = Solution(edir, ediff, abso, omega, niter, res, diff_tol=tol)

@@ -19,7 +19,7 @@ cached across calls (reference solution-uid cache + `diff_sor_omega`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -171,9 +171,16 @@ def specint_pprts(
     mcica_seed: int = 712,
     overlap: str = "maxrand",
     buildings=None,
+    bands: Optional[Tuple[int, int]] = None,
 ) -> SpectralResult:
     """Full-spectrum solve.  The solver's grid z-axis must match
     atm.nlay; sun angles must be set for solar.
+
+    `bands=(lo, hi)` restricts the spectral loop to g-points
+    [lo, hi) — the reference's `-rrtmg_bands`/`-ecckd_bands` subset
+    option (`rrtmg/rrtmg/optprop_rrtmg.F90:364-388`,
+    `ecckd/ecckd_pprts.F90:358-366`); the result is then a PARTIAL
+    spectral integral (debug/scaling-study semantics, as upstream).
 
     With `time` (simulation time [s]) and positive
     `max_solution_err`/`max_solution_time`, band chunks whose
@@ -351,6 +358,9 @@ def specint_pprts(
     def run_chunks(sp: SpectralOptProps, solar: bool, uid_tag: str):
         nonlocal edir_acc, edn, eup, abso
         ngpt = sp.tau.shape[0]
+        g_lo, g_hi = 0, ngpt
+        if bands is not None:
+            g_lo, g_hi = max(0, bands[0]), min(ngpt, bands[1])
         has_planck = sp.planck is not None
         fn = solver._solve_fn(lthermal=has_planck, lsolar=solar, has_planck_srfc=sp.planck_srfc is not None)
         vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0))
@@ -360,8 +370,8 @@ def specint_pprts(
             solver._spectral_cache = {}
             solver._spectral_trackers = {}
         adaptive = time is not None and max_solution_err > 0 and max_solution_time > 0
-        for lo in range(0, ngpt, band_chunk):
-            hi = min(lo + band_chunk, ngpt)
+        for lo in range(g_lo, g_hi, band_chunk):
+            hi = min(lo + band_chunk, g_hi)
             nb = hi - lo
             cache_key = (uid_tag, lo)
             prev = solver.solutions.get(cache_key)

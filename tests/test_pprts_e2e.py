@@ -226,6 +226,32 @@ def test_zslab_assembly_matches_batched(opp):
         np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_zslab_assembly_matches_batched_mixed_l1d(opp):
+    """Same as above but with 1-D (analytic-block) layers above the 3-D
+    region, exercising the full-z-buffer + in-place-1-D-fill slab path
+    (the contiguous-l1d fast path added for the 256^2 memory diet)."""
+    rng = np.random.default_rng(9)
+    nz, nx, ny = 9, 6, 5
+    dz = np.concatenate([np.full(3, 400.0), np.full(6, 80.0)]).astype(np.float32)
+    res = {}
+    for slab in (0, 4):
+        grid = Grid.create(nz, nx, ny, 100.0, 100.0, dz)
+        solver = PprtsSolver(grid, opp)
+        solver.options.set("pprts_assembly_z_slab", slab)
+        assert solver._l1d[:3].all() and not solver._l1d[3:].any()
+        rng = np.random.default_rng(9)  # same fields for both runs
+        ka = rng.uniform(1e-5, 1e-2, (nz, nx, ny)).astype(np.float32)
+        ks = rng.uniform(1e-4, 0.2, (nz, nx, ny)).astype(np.float32)
+        gg = rng.uniform(0.0, 0.8, (nz, nx, ny)).astype(np.float32)
+        planck = np.full((nz + 1, nx, ny), 100.0 / np.pi, np.float32)
+        solver.set_optical_properties(0.15, ka, ks, gg, planck=planck)
+        solver.set_angles(sundir_from_angles(120.0, 35.0))
+        solver.solve(lthermal=True, lsolar=True, edirTOA=1364.0)
+        res[slab] = [np.asarray(a) for a in solver.get_result()]
+    for a, b in zip(res[0], res[4]):
+        np.testing.assert_allclose(a, b, atol=5e-4)
+
+
 def test_twostream_initial_guess_optin(opp):
     """Opt-in `diff_guess_2str` (reference initial-guess-by-twostream,
     `src/pprts.F90:2536-2575`): cold-solve fluxes must match the
