@@ -26,7 +26,7 @@ State layout
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,59 @@ class PlexSolution(NamedTuple):
     edn: jnp.ndarray  # (nz+1, 2, nx, ny) [W]
     eup: jnp.ndarray
     abso: jnp.ndarray  # (nz, 2, nx, ny) [W/m3]
+    # diffuse-solve convergence observability (pprts `Solution` parity;
+    # reference residual histories, `src/pprts_base.F90:163-164`)
+    niter_diff: Any = 0
+    diff_res: Any = 0.0
+    diff_tol: Any = 0.0
+
+
+def iterate_diffuse(G, E0, F0, solver: str, max_iter: int, rtol: float):
+    """Drive the affine diffuse fixed-point map G((E, F)) = S(E, F) + b
+    to convergence.
+
+    solver='fixedpoint': plain iteration x <- G(x), stopping on the
+    relative update norm (the reference's explicit-SOR analogue).
+    solver='bicgstab': matrix-free Krylov on A(x) = x - S(x) = b
+    (reference KSPFBCGS default, `plexrt/plex_rt.F90:2228`), using that
+    b = G(0) and S(x) = G(x) - b for an affine G.
+
+    Returns (E, F, niter, res, tol) — residual semantics per solver.
+    """
+    if solver == "bicgstab":
+        from tenstream_tpu.ops.krylov import bicgstab_tree
+
+        bvec = G((jnp.zeros_like(E0), jnp.zeros_like(F0)))
+
+        def A(x):
+            GE, GF = G(x)
+            return (x[0] - GE + bvec[0], x[1] - GF + bvec[1])
+
+        (E, F), niter, res, tol = bicgstab_tree(
+            A, bvec, x0=(E0, F0), rtol=rtol, atol=1e-8, maxiter=max_iter
+        )
+        return E, F, niter, res, tol
+
+    def it(state):
+        i, E, F, res = state
+        E2, F2 = G((E, F))
+        res = jnp.sqrt(jnp.sum((E2 - E) ** 2) + jnp.sum((F2 - F) ** 2))
+        return i + 1, E2, F2, res
+
+    def cond(state):
+        i, E, F, res = state
+        norm = jnp.sqrt(jnp.sum(E ** 2) + jnp.sum(F ** 2))
+        return jnp.logical_and(
+            i < max_iter, res > rtol * jnp.maximum(norm, 1e-10)
+        )
+
+    niter, E, F, res = jax.lax.while_loop(
+        cond, it, (0, E0, F0, jnp.asarray(jnp.inf, ireals))
+    )
+    tol = rtol * jnp.maximum(
+        jnp.sqrt(jnp.sum(E ** 2) + jnp.sum(F ** 2)), 1e-10
+    )
+    return E, F, niter, res, tol
 
 
 # Direct-stream bookkeeping per wedge scheme.  The diffuse side (8
@@ -77,7 +130,8 @@ class PlexrtSolver:
     the scheme follows the optprop tables)."""
 
     def __init__(self, grid: PlexGrid, opp: WedgeOptProp, n_inner: int = 24,
-                 diff_iters: int = 300, diff_rtol: float = 1e-5):
+                 diff_iters: int = 300, diff_rtol: float = 1e-5,
+                 diff_solver: str = "fixedpoint"):
         # n_inner: triangle side-to-side chains decay slower than the
         # cube's X<->Y coupling; 24 sweeps keep transparent transport
         # exact to <1e-4 (see tests)
@@ -90,7 +144,29 @@ class PlexrtSolver:
         self.n_inner = n_inner
         self.diff_iters = diff_iters
         self.diff_rtol = diff_rtol
+        self.diff_solver = diff_solver
         self._sundir = None
+        self._mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        """Attach an ('x', 'y') device mesh: all solve-state fields are
+        placed with their trailing (nx, ny) triangle-grid axes sharded;
+        the `jnp.roll` side exchanges lower to GSPMD halo permutes —
+        the wedge analogue of the cube solver's distribution (the
+        reference's plexrt runs on the same MPI decomposition as pprts,
+        SURVEY §2.5)."""
+        self._mesh = mesh
+
+    def _shard(self, a, trailing: int = 0):
+        """Place `a` so its (nx, ny) axes (offset `trailing` from the
+        end) are sharded over the attached mesh; no-op without one."""
+        if self._mesh is None or a is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(*([None] * (a.ndim - 2 - trailing)), "x", "y",
+                 *([None] * trailing))
+        return jax.device_put(a, NamedSharding(self._mesh, spec))
 
     def set_angles(self, sundir) -> None:
         self._sundir = np.asarray(sundir, np.float64)
@@ -151,6 +227,8 @@ class PlexrtSolver:
         mu = jnp.asarray(abs(sd[2]) / np.linalg.norm(sd), ireals)
         top0 = jnp.full((n_top,) + shape2, edirTOA * g.area_tri / n_top,
                         ireals) * mu
+        d2d = self._shard(d2d, trailing=2)
+        top0 = self._shard(top0)
 
         def layer(top_in, C):  # C: (2,nx,ny, nsrc, ndir)
             I = jnp.zeros((3 * n_q,) + shape2, ireals)
@@ -309,32 +387,26 @@ class PlexrtSolver:
         albedo = jnp.asarray(self._albedo, ireals)
         dir_sfc = edir[-1] if edir is not None else jnp.zeros((2, g.nx, g.ny), ireals)
 
-        E = jnp.zeros((2, g.nz + 1, 2, g.nx, g.ny), ireals)
-        F = jnp.zeros((4, g.nz, 3, g.nx, g.ny), ireals)
+        # mesh placement (no-ops unsharded): coeff fields carry their
+        # (src, dst) dims after (nx, ny); state/source fields end in
+        # (nx, ny)
+        f2f = self._shard(f2f, trailing=2)
+        bE, bF, dir_sfc = self._shard(bE), self._shard(bF), self._shard(dir_sfc)
 
-        def it(state):
-            i, E, F, res = state
-            E2, F2 = self._diff_op(f2f, E, F, (bE, bF), albedo, dir_sfc)
-            res = jnp.sqrt(jnp.sum((E2 - E) ** 2) + jnp.sum((F2 - F) ** 2))
-            return i + 1, E2, F2, res
+        E = self._shard(jnp.zeros((2, g.nz + 1, 2, g.nx, g.ny), ireals))
+        F = self._shard(jnp.zeros((4, g.nz, 3, g.nx, g.ny), ireals))
 
-        def cond(state):
-            i, E, F, res = state
-            norm = jnp.sqrt(jnp.sum(E ** 2) + jnp.sum(F ** 2))
-            return jnp.logical_and(
-                i < self.diff_iters,
-                res > self.diff_rtol * jnp.maximum(norm, 1e-10),
-            )
-
-        _, E, F, _ = jax.lax.while_loop(
-            cond, it, (0, E, F, jnp.asarray(jnp.inf, ireals))
+        G = lambda x: self._diff_op(f2f, x[0], x[1], (bE, bF), albedo, dir_sfc)
+        E, F, niter, res, tol = iterate_diffuse(
+            G, E, F, self.diff_solver, self.diff_iters, self.diff_rtol
         )
 
         # absorption from total flux divergence [W/m3]
         diff_net = self._diff_divergence(E, F, bE, bF, f2f)
         vol = jnp.asarray(self.grid.volumes(), ireals)
         abso = (dir_net + diff_net) / vol
-        return PlexSolution(edir, E[0], E[1], abso)
+        return PlexSolution(edir, E[0], E[1], abso,
+                            niter_diff=niter, diff_res=res, diff_tol=tol)
 
     def _diff_divergence(self, E, F, bE, bF, f2f):
         """Net diffuse power deposited per cell: inflows - outflows

@@ -16,7 +16,7 @@ zero there (reference `plex_rt.F90:4341`).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,10 @@ class PlexSolutionU(NamedTuple):
     edn: jnp.ndarray  # (nz+1, nc) [W]
     eup: jnp.ndarray
     abso: jnp.ndarray  # (nz, nc) [W/m3]
+    # diffuse-solve convergence observability (pprts `Solution` parity)
+    niter_diff: Any = 0
+    diff_res: Any = 0.0
+    diff_tol: Any = 0.0
 
 
 class PlexrtSolverIcon:
@@ -42,7 +46,8 @@ class PlexrtSolverIcon:
 
     def __init__(self, mesh: TriMesh, dz, opp: WedgeOptProp,
                  n_inner: int = 24, diff_iters: int = 300,
-                 diff_rtol: float = 1e-5):
+                 diff_rtol: float = 1e-5, diff_solver: str = "fixedpoint"):
+        self.diff_solver = diff_solver
         self.mesh = mesh
         self.dz = np.broadcast_to(np.asarray(dz, np.float32).ravel(), (np.size(dz),)).copy() \
             if np.ndim(dz) else np.asarray([dz], np.float32)
@@ -261,28 +266,18 @@ class PlexrtSolverIcon:
         E = jnp.zeros((2, nz + 1, nc), ireals)
         F = jnp.zeros((2, nz, nc, 3), ireals)
 
-        def it(state):
-            i, E, F, res = state
-            E2, F2 = self._diff_op(f2f, E, F, (bE, bF), albedo, dir_sfc)
-            res = jnp.sqrt(jnp.sum((E2 - E) ** 2) + jnp.sum((F2 - F) ** 2))
-            return i + 1, E2, F2, res
+        from tenstream_tpu.plexrt.solver import iterate_diffuse
 
-        def cond(state):
-            i, E, F, res = state
-            norm = jnp.sqrt(jnp.sum(E ** 2) + jnp.sum(F ** 2))
-            return jnp.logical_and(
-                i < self.diff_iters,
-                res > self.diff_rtol * jnp.maximum(norm, 1e-10),
-            )
-
-        _, E, F, _ = jax.lax.while_loop(
-            cond, it, (0, E, F, jnp.asarray(jnp.inf, ireals))
+        G = lambda x: self._diff_op(f2f, x[0], x[1], (bE, bF), albedo, dir_sfc)
+        E, F, niter, res, tol = iterate_diffuse(
+            G, E, F, self.diff_solver, self.diff_iters, self.diff_rtol
         )
 
         diff_net = self._diff_divergence(E, F, bE, bF, f2f)
         vol = jnp.asarray(self.dz, ireals)[:, None] * self._area[None]
         abso = (dir_net + diff_net) / vol
-        return PlexSolutionU(edir, E[0], E[1], abso)
+        return PlexSolutionU(edir, E[0], E[1], abso,
+                             niter_diff=niter, diff_res=res, diff_tol=tol)
 
     def _diff_divergence(self, E, F, bE, bF, f2f):
         v = self._gather_in(E, F)

@@ -299,11 +299,16 @@ def solve_bicgstab(
 
     dtype = b.dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e4, dtype)
-    # 30 non-improving iterations before accepting the best iterate:
-    # BiCGStab's residual is erratic enough that limits <~10 exit
-    # prematurely with garbage (measured: stall=6 stopped a converging
-    # cold solve at niter=8 with res 1e7); stall in [10, 30] never
-    # triggered before the rtol exit on the bench scenes
+    # 30 non-improving iterations before giving up: BiCGStab's residual
+    # is erratic enough that limits <~10 exit prematurely with garbage
+    # (measured: stall=6 stopped a converging cold solve at niter=8 with
+    # res 1e7); stall in [10, 30] never triggered before the rtol exit
+    # on the bench scenes.  NB the stall tracker carries only the best
+    # residual SCALAR, not a best-iterate copy: the extra best_x/best_r
+    # vectors cost 1.2 GB at BASELINE scale (256^2x113, band_chunk=2),
+    # and final-iterate quality is guaranteed by the Richardson POLISH
+    # that always follows this solver (solver.py) — it contracts to the
+    # absolute tolerance from whatever iterate the stall exit leaves.
     stall_limit = 30
     restart_every = 10
 
@@ -318,8 +323,7 @@ def solve_bicgstab(
         return jnp.vdot(u.ravel(), v.ravel())
 
     def cond(state):
-        (it, x, r, rhat, p, v, rho, alpha, omega,
-         best_x, best_r, best_res, stall) = state
+        (it, x, r, rhat, p, v, rho, alpha, omega, best_res, stall) = state
         res = jnp.linalg.norm(r.ravel())
         return jnp.logical_and(
             it < maxiter,
@@ -327,21 +331,18 @@ def solve_bicgstab(
         )
 
     def body(state):
-        (it, x, r, rhat, p, v, rho, alpha, omega,
-         best_x, best_r, best_res, stall) = state
+        (it, x, r, rhat, p, v, rho, alpha, omega, best_res, stall) = state
 
         # plateau restart: BiCGStab can stall when rhat (= r0) loses its
         # component along the remaining error (measured: a thermal
         # box-cloud system plateaued at iteration ~3 and the stall exit
         # returned ~0 fluxes while Richardson converged fine).  Every
         # `restart_every` non-improving iterations, restart the Krylov
-        # process from the best iterate; the overall stall_limit exit
-        # then only fires after stall_limit/restart_every fruitless
-        # restarts.  best_r is carried so restarts cost no extra apply.
+        # directions from the CURRENT residual; the overall stall_limit
+        # exit then only fires after stall_limit/restart_every fruitless
+        # restarts.
         do_restart = (stall > 0) & (stall % restart_every == 0)
-        x = jnp.where(do_restart, best_x, x)
-        r = jnp.where(do_restart, best_r, r)
-        rhat = jnp.where(do_restart, best_r, rhat)
+        rhat = jnp.where(do_restart, r, rhat)
         p = jnp.where(do_restart, jnp.zeros_like(p), p)
         v = jnp.where(do_restart, jnp.zeros_like(v), v)
         rho = jnp.where(do_restart, one, rho)
@@ -369,37 +370,28 @@ def solve_bicgstab(
         x_new = x + alpha * phat + omega_new * shat
         r_new = s - omega_new * t
 
-        # non-finite guard: freeze at best iterate and count as stalled
+        # non-finite guard: freeze at the previous iterate, count as
+        # stalled (the stall exit then hands off to the polish)
         ok = jnp.isfinite(jnp.sum(r_new)) & jnp.isfinite(jnp.sum(x_new))
-        x_new = jnp.where(ok, x_new, best_x)
-        r_new = jnp.where(ok, r_new, b - A(best_x))
+        x_new = jnp.where(ok, x_new, x)
+        r_new = jnp.where(ok, r_new, r)
 
         res_new = jnp.linalg.norm(r_new.ravel())
         improved = res_new < best_res * (1.0 - 1e-4)
-        best_x = jnp.where(improved, x_new, best_x)
-        best_r = jnp.where(improved, r_new, best_r)
         best_res = jnp.where(improved, res_new, best_res)
         stall = jnp.where(improved & ok, 0, stall + 1)
 
         return (it + 1, x_new, r_new, rhat, p, v, rho_new, alpha,
-                omega_new, best_x, best_r, best_res, stall)
+                omega_new, best_res, stall)
 
     one = jnp.asarray(1.0, dtype)
     state = (
         jnp.asarray(0), x, r, rhat, jnp.zeros_like(b), jnp.zeros_like(b),
-        one, one, one, x, r, res0, jnp.asarray(0),
+        one, one, one, res0, jnp.asarray(0),
     )
     state = jax.lax.while_loop(cond, body, state)
     it, x, r = state[0], state[1], state[2]
-    best_x, best_res = state[9], state[11]
-    # return the best iterate seen (== final x when converged cleanly)
-    final_res = jnp.linalg.norm(r.ravel())
-    use_best = best_res < final_res
-    return (
-        jnp.where(use_best, best_x, x),
-        it,
-        jnp.minimum(best_res, final_res),
-    )
+    return x, it, jnp.linalg.norm(r.ravel())
 
 
 def _safe(v, eps):

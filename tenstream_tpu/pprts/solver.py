@@ -274,11 +274,13 @@ class PprtsSolver:
         self._l1d = np.asarray(determine_1d_layers(self.grid.dz3d, self.grid.dx, twostr_ratio))
 
     # ------------------------------------------------------------------
-    def _solve_fn(self, lthermal: bool, lsolar: bool, has_planck_srfc: bool):
+    def _solve_fn(self, lthermal: bool, lsolar: bool, has_planck_srfc: bool,
+                  use_x0: bool = True):
         key = (
             lthermal,
             lsolar,
             has_planck_srfc,
+            use_x0,
             self.sun.xinc if self.sun else -1,
             self.sun.yinc if self.sun else -1,
             self.scheme.name,
@@ -399,6 +401,14 @@ class PprtsSolver:
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0,
                 omega0, planck_bldg):
+            if not use_x0:
+                # cold solve: the zero initial guess is created INSIDE
+                # the program (the x0 argument is a dummy) — a real x0
+                # input buffer is 0.6 GB at BASELINE scale, band_chunk=2
+                x0 = jnp.zeros(
+                    (scheme.ndiff, grid.nz - (K - 1 if K > 1 else 0) + 1,
+                     grid.nx, grid.ny), ireals,
+                )
             dz3d = grid.dz3d
             collapse_btop = collapse_bbot = None
             if K > 1:
@@ -674,9 +684,12 @@ class PprtsSolver:
     def _solve_mono(self, lthermal, lsolar, edirTOA, uid):
         atm = self._atm
         prev = self.solutions.get(uid)
-        x0 = prev.ediff.astype(ireals) if prev is not None else self._mesh_zeros(
-            (self.scheme.ndiff, self.nz_solve + 1, self.grid.nx, self.grid.ny)
-        )
+        use_x0 = prev is not None
+        # cold start: the zero guess is created inside the jitted
+        # program; the x0 slot gets an uncommitted dummy (numpy, so it
+        # is also multi-host-safe as an implicitly replicated input)
+        x0 = (prev.ediff.astype(ireals) if use_x0
+              else np.zeros((1, 1, 1, 1), np.float32))
         omega0 = prev.diff_omega if prev is not None else jnp.asarray(1.0, ireals)
 
         bld = self._buildings
@@ -685,7 +698,8 @@ class PprtsSolver:
             if bld is not None and bld.planck is not None
             else self._mesh_zeros((self.grid.nz, self.grid.nx, self.grid.ny))
         )
-        fn = self._solve_fn(lthermal and atm["planck"] is not None, lsolar, atm["planck_srfc"] is not None)
+        fn = self._solve_fn(lthermal and atm["planck"] is not None, lsolar,
+                            atm["planck_srfc"] is not None, use_x0=use_x0)
         with GLOBAL_LOG.scope("solve_pprts"):
             edir, ediff, abso, niter, omega, res, tol = fn(
                 atm["kabs"], atm["ksca"], atm["g"], atm["albedo2d"],

@@ -83,7 +83,41 @@ def _specint_1d(solver, atm, backend, a2d, lthermal, lsolar, batched_fields):
     eup = jnp.zeros_like(edir)
     abso = jnp.zeros((nz, nx, ny), ireals)
 
+    use_disort = solver.solver_type == "disort"
+
+    def disort_solve(sp, solar):
+        """Per-g-point multi-stream DISORT columns (reference
+        `t_solver_disort` dispatch through the specint drivers); the
+        g-point axis is vmapped."""
+        from tenstream_tpu.ops.disort import disort_fluxes
+
+        kabs_b, ksca_b, g_b = batched_fields(sp, "sw" if solar else "lw")
+        dz_b = grid.dz3d[None]
+        dtau = (kabs_b + ksca_b) * dz_b
+        w0 = ksca_b / jnp.maximum(kabs_b + ksca_b, 1e-30)
+        nstr = solver.options.get_int("disort_streams", 8)
+        if solar:
+            mu0 = solver.sun.mu
+            fx = jax.vmap(lambda dt, w, gg, inc: disort_fluxes(
+                dt, w, gg, mu0, inc, a2d, nstreams=nstr))
+            S, Edn, Eup = fx(dtau, w0, g_b, jnp.asarray(sp.weight, ireals))
+            # S is in tilted-plane units, diffuse fluxes horizontal
+            # (solver._solve_disort convention)
+            S = S * solver.sun.mu
+        else:
+            planck_b = jnp.asarray(sp.planck, ireals)
+            if planck_b.ndim == 2:
+                planck_b = planck_b[..., None, None] * jnp.ones((nx, ny), ireals)
+            fx = jax.vmap(lambda dt, w, gg, pl: disort_fluxes(
+                dt, w, gg, None, 0.0, a2d, planck=pl, nstreams=nstr))
+            S, Edn, Eup = fx(dtau, w0, g_b, planck_b)
+        net = (S[:, :-1] - S[:, 1:]) + (Edn[:, :-1] - Edn[:, 1:]) + (Eup[:, 1:] - Eup[:, :-1])
+        ab = net / dz_b
+        return S.sum(0), Edn.sum(0), Eup.sum(0), ab.sum(0)
+
     def batch_solve(sp, solar):
+        if use_disort:
+            return disort_solve(sp, solar)
         kabs_b, ksca_b, g_b = batched_fields(sp, "sw" if solar else "lw")
         ngpt = kabs_b.shape[0]
         # move gpt to a trailing batch dim: (nlay, ngpt, nx, ny)
@@ -362,8 +396,16 @@ def specint_pprts(
         if bands is not None:
             g_lo, g_hi = max(0, bands[0]), min(ngpt, bands[1])
         has_planck = sp.planck is not None
-        fn = solver._solve_fn(lthermal=has_planck, lsolar=solar, has_planck_srfc=sp.planck_srfc is not None)
-        vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0))
+        # two program variants: warm (x0 consumed) and cold (zero guess
+        # created INSIDE the program; the x0 input slot is a dummy —
+        # a real cold-x0 buffer is 0.6 GB at BASELINE scale, chunk=2)
+        vfns = {}
+        for w in (False, True):
+            fn = solver._solve_fn(
+                lthermal=has_planck, lsolar=solar,
+                has_planck_srfc=sp.planck_srfc is not None, use_x0=w,
+            )
+            vfns[w] = jax.vmap(fn, in_axes=(0, 0, 0, None, 0, 0, 0, 0, 0, 0))
 
         zeros_planck = jnp.zeros((nz + 1, nx, ny), ireals)
         if not hasattr(solver, "_spectral_cache"):
@@ -388,14 +430,16 @@ def specint_pprts(
                     _acc_abso(cached[2], solar)
                     solver._spectral_skips = getattr(solver, "_spectral_skips", 0) + 1
                     continue
-            if prev is not None and prev.ediff is not None:
+            warm = prev is not None and prev.ediff is not None
+            if warm:
                 # np.asarray is a no-copy view for host-cached f32 states
                 x0 = (np.asarray(prev.ediff, dtype=ireals)
                       if isinstance(prev.ediff, np.ndarray)
                       else prev.ediff.astype(ireals))
             else:
-                x0 = jnp.zeros((nb, scheme.ndiff, nzs + 1, nx, ny), ireals)
+                x0 = np.zeros((nb, 1, 1, 1, 1), np.float32)  # dummy slot
             om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
+            vfn = vfns[warm]
 
             if has_planck:
                 planck_b = to3d(sp.planck[lo:hi])

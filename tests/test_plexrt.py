@@ -197,3 +197,52 @@ def test_wedge_solver_vs_domain_mc(opp):
     wx_map = (edir[-1] + edn[-1]).mean(axis=0)  # average the two triangles
     cc = np.corrcoef(mc_map.ravel(), wx_map.ravel())[0, 1]
     assert cc > 0.85, cc
+
+
+def test_bicgstab_matches_fixedpoint(opp):
+    """diff_solver='bicgstab' (reference KSPFBCGS parity,
+    `plexrt/plex_rt.F90:2228`) must reproduce the fixed-point solve and
+    report convergence metadata (niter/res/tol, pprts Solution parity)."""
+    g = fish_mesh(5, 6, 6, 100.0, 100.0, 100.0)
+    ka = np.full((5, 2, 6, 6), 3e-4, np.float32)
+    ks = np.full((5, 2, 6, 6), 2e-3, np.float32)
+    ks[2, :, 2:4, 2:4] = 0.05  # embedded scatterer
+    gg = np.full((5, 2, 6, 6), 0.4, np.float32)
+    res = {}
+    for ds in ("fixedpoint", "bicgstab"):
+        s = PlexrtSolver(g, opp, diff_solver=ds)
+        s.set_optical_properties(0.3, ka, ks, gg)
+        s.set_angles(_sundir(30.0, 40.0))
+        sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+        assert int(np.asarray(sol.niter_diff)) > 0
+        assert float(np.asarray(sol.diff_res)) <= float(np.asarray(sol.diff_tol)) * 10.0
+        res[ds] = [None if a is None else np.asarray(a) for a in s.get_result(sol)]
+    for a, b in zip(res["fixedpoint"], res["bicgstab"]):
+        if a is not None:
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_wedge_solve_matches_single(opp):
+    """(x, y)-sharded structured wedge solve == single-device solve
+    (1-proc == N-proc reference suite semantics for plexrt)."""
+    from tenstream_tpu.parallel.mesh import make_mesh
+
+    g = fish_mesh(4, 8, 8, 100.0, 100.0, 100.0)
+    rng = np.random.default_rng(11)
+    ka = (1e-4 + 1e-3 * rng.random((4, 2, 8, 8))).astype(np.float32)
+    ks = (1e-4 + 8e-3 * rng.random((4, 2, 8, 8))).astype(np.float32)
+    gg = np.full((4, 2, 8, 8), 0.4, np.float32)
+    out = {}
+    for shard in (False, True):
+        s = PlexrtSolver(g, opp)
+        if shard:
+            s.set_mesh(make_mesh(jax.devices()[:8]))
+        s.set_optical_properties(0.2, ka, ks, gg)
+        s.set_angles(_sundir(25.0, 35.0))
+        sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+        out[shard] = [None if a is None else np.asarray(a)
+                      for a in s.get_result(sol)]
+    for a, b in zip(out[False], out[True]):
+        if a is not None:
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3)
