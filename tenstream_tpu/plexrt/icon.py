@@ -125,6 +125,29 @@ def trimesh_from_structured(nx: int, ny: int, dx: float, dy: float) -> TriMesh:
     return trimesh_from_points(verts, np.asarray(tris))
 
 
+def trimesh_equilateral(nx: int, ny: int, edge: float) -> TriMesh:
+    """Equilateral-triangle lattice (the ICON ideal cell shape): skewed
+    rows of up/down triangles, `nx` rhombi per row, `ny` rows
+    (non-periodic).  Cell order: c = 2*(i*ny + j) + o, o=0 up / o=1
+    down."""
+    h = edge * np.sqrt(3.0) / 2.0
+    nv = (nx + 1) * (ny + 1)
+    vid = lambda i, j: i * (ny + 1) + j
+    verts = np.zeros((nv, 2))
+    for i in range(nx + 1):
+        for j in range(ny + 1):
+            verts[vid(i, j)] = ((i + 0.5 * j) * edge, j * h)
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            # up triangle: base on row j, apex on row j+1
+            tris.append((vid(i, j), vid(i + 1, j), vid(i, j + 1)))
+            # down triangle: base on row j+1, apex on row j (the 180-
+            # degree partner, like T1 of the structured mesh)
+            tris.append((vid(i + 1, j + 1), vid(i, j + 1), vid(i + 1, j)))
+    return trimesh_from_points(verts, np.asarray(tris))
+
+
 def rotate_mesh(mesh: TriMesh, angle_deg: float) -> TriMesh:
     """Rigidly rotate the mesh in the horizontal plane (tests)."""
     a = np.deg2rad(angle_deg)

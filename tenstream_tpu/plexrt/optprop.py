@@ -118,7 +118,8 @@ def default_axes() -> WedgeAxes:
 
 
 def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int,
-                scheme: str = "5_8", chunk: int = 2048, verbose: bool = False):
+                scheme: str = "5_8", chunk: int = 2048, verbose: bool = False,
+                apex=None):
     """Vectorized tracing over the whole entry grid (vmapped).
 
     Entries are processed in fixed-size chunks: an unchunked vmap over a
@@ -140,13 +141,14 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
         fn = jax.jit(jax.vmap(
             lambda k, t, w, a, gg, ph, th: run_wedge_boxmc(
                 k, src, True, t, w, gg, a, ph, th, n_photons=n_photons,
-                scheme=scheme,
+                scheme=scheme, apex=apex,
             )
         ))
     else:
         fn = jax.jit(jax.vmap(
             lambda k, t, w, a, gg: run_wedge_boxmc(
                 k, src, False, t, w, gg, a, n_photons=n_photons, scheme=scheme,
+                apex=apex,
             )
         ))
 
@@ -176,7 +178,7 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
 
 
 def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray,
-                         scheme: str = "5_8") -> None:
+                         scheme: str = "5_8", apex=None) -> None:
     """Make downwind source rows interpolation-safe (in place).
 
     A side face is a valid direct inflow only when the sun direction has
@@ -196,10 +198,15 @@ def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray,
     d = np.stack(
         [np.sin(PH) * np.sin(TH), np.cos(PH) * np.sin(TH), -np.cos(TH)], axis=-1
     )  # (nphi, nth, 3)
-    r2 = 1.0 / np.sqrt(2.0)
-    # inward face normals by tracer face id (0 top, 2 AB, 3 BC, 4 CA)
+    cx, cy = apex if apex is not None else (1.0, 1.0)
+    Lbc = np.hypot(cx - 1.0, cy)
+    Lca = np.hypot(cx, cy)
+    # inward face normals by tracer face id (0 top, 2 AB, 3 BC, 4 CA);
+    # general triangle A=(0,0) B=(1,0) C=(cx,cy) (wedge_boxmc
+    # _side_normals convention)
     face_normal = {0: (0.0, 0.0, -1.0), 2: (0.0, 1.0, 0.0),
-                   3: (-1.0, 0.0, 0.0), 4: (r2, -r2, 0.0)}
+                   3: (-cy / Lbc, (cx - 1.0) / Lbc, 0.0),
+                   4: (cy / Lca, -cx / Lca, 0.0)}
     cfg = _SCHEME_DIR[scheme]
 
     nphi, nth = len(phis), len(thetas)
@@ -232,7 +239,14 @@ def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray,
 def create_wedge_lut(
     daxes: WedgeAxes, faxes: WedgeAxes, n_photons: int = 5000,
     seed: int = 0, verbose: bool = False, scheme: str = "5_8",
+    apex=None,
 ) -> WedgeLUT:
+    """apex=(cx, cy) traces a SHAPE-EXACT table for the general
+    triangle A=(0,0) B=(1,0) C=(cx, cy) instead of the canonical right
+    triangle — used to quantify (and, per mesh, eliminate) the
+    canonical-triangle approximation (`tools/wedge_shape_error.py`).
+    The isoceles mirror symmetrization only applies to the canonical
+    shape."""
     cfg = _SCHEME_DIR[scheme]
     nsrc, ndir = len(cfg["srcs"]), cfg["ndir"]
     nd = tuple(len(a) for a in (daxes.tau, daxes.w0, daxes.aspect, daxes.g,
@@ -245,24 +259,27 @@ def create_wedge_lut(
     for i, src in enumerate(cfg["srcs"]):
         if verbose:
             print(f"wedge LUT dir src {src}/{nsrc}", flush=True)
-        T, S = _trace_grid(daxes, src, True, n_photons, seed + src, scheme)
+        T, S = _trace_grid(daxes, src, True, n_photons, seed + src, scheme,
+                           apex=apex)
         d2d[..., i, :] = T
         d2f[..., i, :] = S
     for src in range(NDIFF):
         if verbose:
             print(f"wedge LUT diff src {src}/{NDIFF}", flush=True)
-        _, S = _trace_grid(faxes, src, False, n_photons, seed + 100 + src, scheme)
+        _, S = _trace_grid(faxes, src, False, n_photons, seed + 100 + src,
+                           scheme, apex=apex)
         f2f[..., src, :] = S
 
-    _sanitize_dir_tables(daxes, d2d, d2f, scheme)
+    _sanitize_dir_tables(daxes, d2d, d2f, scheme, apex=apex)
 
-    # exact mirror symmetry of the right isoceles triangle about the
-    # axis through B: swaps AB <-> BC, fixes top/bot/CA.  Averaging the
-    # diffuse table with its mirror image halves the MC variance and
-    # makes the symmetry exact (cube analogue: `optprop/lut.py:
-    # symmetrize_tables`).
-    perm = np.array([0, 3, 4, 1, 2, 5, 6, 7])
-    f2f[:] = 0.5 * (f2f + f2f[..., perm, :][..., :, perm])
+    if apex is None:
+        # exact mirror symmetry of the right isoceles triangle about the
+        # axis through B: swaps AB <-> BC, fixes top/bot/CA.  Averaging
+        # the diffuse table with its mirror image halves the MC variance
+        # and makes the symmetry exact (cube analogue: `optprop/lut.py:
+        # symmetrize_tables`).
+        perm = np.array([0, 3, 4, 1, 2, 5, 6, 7])
+        f2f[:] = 0.5 * (f2f + f2f[..., perm, :][..., :, perm])
 
     # phi is periodic: force the 360-degree column equal to 0 degrees
     if np.isclose(daxes.phi[0], 0.0) and np.isclose(daxes.phi[-1], 360.0):

@@ -55,30 +55,39 @@ NDIFF = 8
 WEDGE_SCHEMES = {"5_8": (5, 8), "5_5": (5, 5), "18_8": (18, 8)}
 
 
-def _side_normals(bx, by):
-    """Inward unit normals of the 3 side planes (AB, BC, CA)."""
-    L = jnp.sqrt(bx * bx + by * by)
-    return (
-        (0.0, 1.0),  # AB: y = 0, inward +y
-        (-1.0, 0.0),  # BC: x = bx, inward -x
-        (by / L, -bx / L),  # CA: diagonal through origin, inward toward B
-    )
+def _side_normals(bx, by, cx=None, cy=None):
+    """Inward unit normals of the 3 side planes (AB, BC, CA) for the
+    general triangle A=(0,0), B=(bx,0), C=(cx,cy); the canonical table
+    shape is the cx=bx, cy=by right triangle."""
+    if cx is None:
+        cx, cy = bx, by
+    # AB: y = 0, inward +y
+    # BC: edge B->C = (cx-bx, cy); inward normal points toward A
+    Lbc = jnp.sqrt((cx - bx) ** 2 + cy * cy)
+    nbc = (-cy / Lbc, (cx - bx) / Lbc)
+    # CA: edge A->C = (cx, cy); inward normal points toward B
+    Lca = jnp.sqrt(cx * cx + cy * cy)
+    nca = (cy / Lca, -cx / Lca)
+    return ((0.0, 1.0), nbc, nca)
 
 
-def _sample_in_triangle(key, bx, by, n):
-    """Uniform points in triangle (0,0),(bx,0),(bx,by)."""
+def _sample_in_triangle(key, bx, by, n, cx=None, cy=None):
+    """Uniform points in triangle (0,0),(bx,0),(cx,cy)."""
+    if cx is None:
+        cx, cy = bx, by
     k1, k2 = jax.random.split(key)
-    u = jax.random.uniform(k1, (n,))
-    v = jax.random.uniform(k2, (n,))
-    # fold the unit square onto the triangle u >= v (x=u*bx, y=v*by)
-    swap = v > u
-    uu = jnp.where(swap, v, u)
-    vv = jnp.where(swap, u, v)
-    return uu * bx, vv * by
+    r1 = jnp.sqrt(jax.random.uniform(k1, (n,)))
+    r2 = jax.random.uniform(k2, (n,))
+    # P = (1-sqrt r1) A + sqrt r1 (1-r2) B + sqrt r1 r2 C
+    x = r1 * (1.0 - r2) * bx + r1 * r2 * cx
+    y = r1 * r2 * cy
+    return x, y
 
 
-def _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz):
+def _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz, cx=None, cy=None):
     """Distance to the prism boundary and the face id hit (0..4)."""
+    if cx is None:
+        cx, cy = bx, by
 
     def plane_t(num, den):
         den_safe = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
@@ -88,11 +97,15 @@ def _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz):
     t_top = plane_t(bz - pz, dz)
     t_bot = plane_t(pz, -dz)
     t_ab = plane_t(py, -dy)  # distance to y=0 moving with -dy
-    t_bc = plane_t(bx - px, dx)
-    # CA plane: by*x - bx*y = 0; photon leaves when it goes negative side
-    s = by * px - bx * py  # >= 0 inside
-    ds = by * dx - bx * dy
-    t_ca = plane_t(s, -ds)
+    # BC plane through B with inward normal nbc: s = nbc.(p - B) >= 0
+    (_, (nbcx, nbcy), (ncax, ncay)) = _side_normals(bx, by, cx, cy)
+    s_bc = nbcx * (px - bx) + nbcy * py
+    ds_bc = nbcx * dx + nbcy * dy
+    t_bc = plane_t(s_bc, -ds_bc)
+    # CA plane through the origin: s = nca.p >= 0 inside
+    s_ca = ncax * px + ncay * py
+    ds_ca = ncax * dx + ncay * dy
+    t_ca = plane_t(s_ca, -ds_ca)
 
     ts = jnp.stack([t_top, t_bot, t_ab, t_bc, t_ca])
     face = jnp.argmin(ts, axis=0).astype(jnp.int32)
@@ -100,29 +113,33 @@ def _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz):
     return tmin, face
 
 
-def _sample_on_wedge_face(key, face, bx, by, bz, n):
+def _sample_on_wedge_face(key, face, bx, by, bz, n, cx=None, cy=None):
     """Uniform positions on one of the 5 faces, nudged inside."""
+    if cx is None:
+        cx, cy = bx, by
     eps = 1e-6
     k1, k2 = jax.random.split(key)
     if face == 0:
-        x, y = _sample_in_triangle(key, bx, by, n)
+        x, y = _sample_in_triangle(key, bx, by, n, cx, cy)
         return x, y, jnp.full((n,), bz * (1 - eps))
     if face == 1:
-        x, y = _sample_in_triangle(key, bx, by, n)
+        x, y = _sample_in_triangle(key, bx, by, n, cx, cy)
         return x, y, jnp.full((n,), bz * eps)
     u = jax.random.uniform(k1, (n,))
     z = jax.random.uniform(k2, (n,)) * bz
-    if face == 2:  # AB: y=0
-        return u * bx, jnp.full((n,), by * eps * 0.5), z
-    if face == 3:  # BC: x=bx
-        return jnp.full((n,), bx * (1 - eps)), u * by, z
-    # CA diagonal: points (t*bx, t*by) nudged toward B
-    nx, ny = by, -bx
-    L = jnp.sqrt(bx * bx + by * by)
-    return u * bx + eps * bx * nx / L, u * by + eps * by * ny / L, z
+    normals = _side_normals(bx, by, cx, cy)
+    if face == 2:  # AB: A + u*(B-A), nudge inward (+y)
+        return u * bx, jnp.zeros((n,)) + eps * by, z
+    if face == 3:  # BC: B + u*(C-B)
+        nx, ny = normals[1]
+        return (bx + u * (cx - bx) + eps * bx * nx,
+                u * cy + eps * by * ny, z)
+    # CA: A + u*(C-A)
+    nx, ny = normals[2]
+    return u * cx + eps * bx * nx, u * cy + eps * by * ny, z
 
 
-def _sample_lambertian_wedge(key, face, zsign, bx, by, n):
+def _sample_lambertian_wedge(key, face, zsign, bx, by, n, cx=None, cy=None):
     """Cosine-weighted directions about the inward normal of `face`;
     side faces optionally restricted to the down/up hemisphere."""
     k1, k2 = jax.random.split(key)
@@ -135,7 +152,7 @@ def _sample_lambertian_wedge(key, face, zsign, bx, by, n):
         return a, b, -mu
     if face == 1:
         return a, b, mu
-    normals = _side_normals(bx, by)
+    normals = _side_normals(bx, by, cx, cy)
     nx, ny = normals[face - 2]
     # local frame: normal=(nx,ny,0); tangent t=(-ny,nx,0); binormal=z
     dxv = mu * nx - a * ny
@@ -186,11 +203,13 @@ def _sample_in_quad(key, quad, n):
     return pt[:, 0], pt[:, 1]
 
 
-def _corner_quads(bx, by):
+def _corner_quads(bx, by, cx=None, cy=None):
     """The three equal-area corner quads of triangle A,B,C."""
+    if cx is None:
+        cx, cy = bx, by
     A = jnp.stack([jnp.zeros_like(bx), jnp.zeros_like(by)])
     B = jnp.stack([bx, jnp.zeros_like(by)])
-    C = jnp.stack([bx, by])
+    C = jnp.stack([cx * jnp.ones_like(bx), cy * jnp.ones_like(by)])
     G = (A + B + C) / 3.0
     mAB, mBC, mAC = (A + B) / 2, (B + C) / 2, (A + C) / 2
     return (
@@ -200,11 +219,13 @@ def _corner_quads(bx, by):
     )
 
 
-def _sample_on_wedge_subface(key, face, sub, bx, by, bz, n):
+def _sample_on_wedge_subface(key, face, sub, bx, by, bz, n, cx=None, cy=None):
     """Uniform positions on one 18_8 direct sub-face, nudged inside."""
+    if cx is None:
+        cx, cy = bx, by
     eps = 1e-6
     if face in (0, 1):
-        quad = _corner_quads(bx, by)[sub]
+        quad = _corner_quads(bx, by, cx, cy)[sub]
         x, y = _sample_in_quad(key, quad, n)
         z = jnp.full((n,), bz * (1 - eps) if face == 0 else bz * eps)
         return x, y, z
@@ -213,24 +234,32 @@ def _sample_on_wedge_subface(key, face, sub, bx, by, bz, n):
     z0, z1 = (0.5, 1.0) if sub in (0, 1) else (0.0, 0.5)
     u = (u0 + (u1 - u0) * jax.random.uniform(k1, (n,)))
     z = (z0 + (z1 - z0) * jax.random.uniform(k2, (n,))) * bz
+    normals = _side_normals(bx, by, cx, cy)
     if face == 2:  # AB: y=0, u along A->B
-        return u * bx, jnp.full((n,), by * eps * 0.5), z
-    if face == 3:  # BC: x=bx, u along B->C
-        return jnp.full((n,), bx * (1 - eps)), u * by, z
-    # CA diagonal, u along A->C: (u*bx, u*by) nudged toward B
-    nx, ny = by, -bx
-    L = jnp.sqrt(bx * bx + by * by)
-    return u * bx + eps * bx * nx / L, u * by + eps * by * ny / L, z
+        return u * bx, jnp.zeros((n,)) + eps * by, z
+    if face == 3:  # BC: B + u*(C-B)
+        nx, ny = normals[1]
+        return (bx + u * (cx - bx) + eps * bx * nx,
+                u * cy + eps * by * ny, z)
+    # CA, u along A->C
+    nx, ny = normals[2]
+    return u * cx + eps * bx * nx, u * cy + eps * by * ny, z
 
 
-def _classify_subface_18(face, px, py, pz, bx, by, bz):
+def _classify_subface_18(face, px, py, pz, bx, by, bz, cx=None, cy=None):
     """Exit position -> 18_8 direct dof (see module docstring order)."""
-    lamC = py / by
-    lamB = px / bx - lamC
-    lamA = 1.0 - px / bx
+    if cx is None:
+        cx, cy = bx, by
+    lamC = py / cy
+    lamB = (px - lamC * cx) / bx
+    lamA = 1.0 - lamB - lamC
     corner = jnp.argmax(jnp.stack([lamA, lamB, lamC]), axis=0).astype(jnp.int32)
     # u along the side's edge parameter
-    u = jnp.where(face == 3, py / by, px / bx)
+    u_ab = px / bx
+    u_bc = ((px - bx) * (cx - bx) + py * cy) / jnp.maximum(
+        (cx - bx) ** 2 + cy * cy, 1e-30)
+    u_ca = (px * cx + py * cy) / jnp.maximum(cx * cx + cy * cy, 1e-30)
+    u = jnp.where(face == 3, u_bc, jnp.where(face == 4, u_ca, u_ab))
     sub = (
         jnp.where(pz >= bz / 2, 0, 2) + jnp.where(u >= 0.5, 1, 0)
     ).astype(jnp.int32)
@@ -257,6 +286,7 @@ def run_wedge_boxmc(
     n_photons: int = 10000,
     max_iter: int = 3000,
     scheme: str = "5_8",
+    apex=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(T, S) transfer fractions for one wedge source.
 
@@ -264,11 +294,22 @@ def run_wedge_boxmc(
     travel direction measured like the cube tracer (phi=0 -> +y,
     phi=90 -> +x; the canonical sun octant restriction does NOT apply —
     the wedge LUT keeps the full circle).  scheme selects the stream
-    geometry: "5_8" (default), "5_5" or "18_8"."""
+    geometry: "5_8" (default), "5_5" or "18_8".
+
+    `apex=(cx, cy)` traces the GENERAL triangle A=(0,0), B=(1,0),
+    C=(cx, cy) (units of dx) instead of the canonical right triangle
+    C=(1, dy_over_dx) — used to quantify the canonical-table
+    approximation for distorted ICON cells (reference carries triangle
+    shape axes via LUT_param_phi, `src/optprop_base.F90:230-243`)."""
     ndir, ndiff = WEDGE_SCHEMES[scheme]
     bx = jnp.asarray(1.0, jnp.float32)
     by = jnp.asarray(dy_over_dx, jnp.float32)
     bz = jnp.maximum(jnp.asarray(aspect, jnp.float32), 1e-6)
+    if apex is None:
+        cx, cy = bx, by
+    else:
+        cx = jnp.asarray(apex[0], jnp.float32)
+        cy = jnp.asarray(apex[1], jnp.float32)
     kext = jnp.asarray(tauz, jnp.float32) / bz
     w0 = jnp.asarray(w0, jnp.float32)
     g = jnp.asarray(g, jnp.float32)
@@ -280,11 +321,11 @@ def run_wedge_boxmc(
         if scheme == "18_8":
             face, subface = _DIR_SRCS_18[src]
             px, py, pz = _sample_on_wedge_subface(
-                kpos, face, subface, bx, by, bz, n_photons
+                kpos, face, subface, bx, by, bz, n_photons, cx, cy
             )
         else:
             face = (0, 2, 3, 4, 1)[src]
-            px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
+            px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons, cx, cy)
         phi = jnp.deg2rad(jnp.asarray(phi_deg, jnp.float32))
         theta = jnp.deg2rad(jnp.asarray(theta_deg, jnp.float32))
         sx = jnp.sin(phi) * jnp.sin(theta)
@@ -295,8 +336,8 @@ def run_wedge_boxmc(
         dz = jnp.full((n_photons,), sz)
     else:
         face, zsign = (_DIFF_SRCS_5_5 if scheme == "5_5" else _DIFF_SRCS)[src]
-        px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons)
-        dx, dy, dz = _sample_lambertian_wedge(kdir, face, zsign, bx, by, n_photons)
+        px, py, pz = _sample_on_wedge_face(kpos, face, bx, by, bz, n_photons, cx, cy)
+        dx, dy, dz = _sample_lambertian_wedge(kdir, face, zsign, bx, by, n_photons, cx, cy)
 
     weights = jnp.ones((n_photons,), jnp.float32)
     alive = jnp.ones((n_photons,), bool)
@@ -321,7 +362,7 @@ def run_wedge_boxmc(
         px, py, pz, dx, dy, dz, weights, alive, scattered = st
         key, ks, kphi, kct, krou = jax.random.split(key, 5)
 
-        dmax, face = _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz)
+        dmax, face = _exit_face_wedge(px, py, pz, dx, dy, dz, bx, by, bz, cx, cy)
         u = jax.random.uniform(ks, (n_photons,), minval=1e-12)
         s_free = jnp.where(ksca > 1e-12, -jnp.log(u) / jnp.maximum(ksca, 1e-12), _BIG)
         travel = jnp.minimum(s_free, dmax)
@@ -335,7 +376,7 @@ def run_wedge_boxmc(
         diff_dst = diff_tbl[face, up.astype(jnp.int32)]
         if ldir:
             if scheme == "18_8":
-                dir_dst = _classify_subface_18(face, px, py, pz, bx, by, bz)
+                dir_dst = _classify_subface_18(face, px, py, pz, bx, by, bz, cx, cy)
             else:
                 dir_dst = jnp.asarray([0, 4, 1, 2, 3], jnp.int32)[face]
             as_direct = exiting & (~scattered)

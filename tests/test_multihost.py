@@ -105,6 +105,15 @@ _WORKER = textwrap.dedent(
     np.testing.assert_allclose(edir_g, np.asarray(rsol.edir), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(abso_g, np.asarray(rsol.abso), rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(ediff_g, ediff_r, rtol=5e-4, atol=0.5)
+
+    # user-facing result path (W/m2 scaling + strict-convergence sync)
+    # must also work on the cross-host solver
+    edirW, ednW, eupW, absoW = solver.get_result()
+    edirW_r, ednW_r, _, _ = ref.get_result()
+    np.testing.assert_allclose(gather_to_host(edirW), np.asarray(edirW_r),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(gather_to_host(ednW), np.asarray(ednW_r),
+                               rtol=1e-3, atol=0.05)
     print(f"MULTIHOST_OK pid={pid} blocks_served={blocks_served[0]}")
     """
 )

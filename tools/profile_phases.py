@@ -83,6 +83,26 @@ def main():
 
     import functools
 
+    # chip peaks for the efficiency columns (v5e defaults; override for
+    # other chips).  HBM bandwidth is the binding roofline for every
+    # phase here: the diffuse operator moves ~17 B/FLOP-pair per cell,
+    # so "fast" means "% of HBM peak", not MXU utilization.
+    PEAK_GBPS = float(os.environ.get("PEAK_GBPS", 819.0))
+    PEAK_TFLOPS = float(os.environ.get("PEAK_TFLOPS", 197.0))  # bf16 MXU
+
+    _costs = {}
+
+    def cost_of(jitted, *args):
+        """XLA's own cost model for the compiled phase: (GFLOP, GB)."""
+        try:
+            c = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return (float(c.get("flops", 0.0)) / 1e9,
+                    float(c.get("bytes accessed", 0.0)) / 1e9)
+        except Exception:
+            return (0.0, 0.0)
+
     def timeit(fn, *args, reps=5, **kw):
         out = fn(*args, **kw)
         jax.block_until_ready(out)
@@ -95,15 +115,17 @@ def main():
     assemble = jax.jit(functools.partial(
         assemble_coeffs, scheme, opp, dz3d=grid.dz3d, dx=grid.dx, l1d=l1d,
         sun=sun, need_dir=True))
+    asm_cost = cost_of(assemble, kabs, ksca, g)
     t_asm, (coeffs, edd) = timeit(lambda a, b, c: assemble(a, b, c), kabs, ksca, g)
 
     inc = jnp.full((1, NX, NY), 1000.0 * grid.az, ireals)
-    t_edir, edir = timeit(
-        lambda dd, i: solve_edir(scheme, dd, i, sun.xinc, sun.yinc),
-        coeffs.dir2dir, inc)
+    edirfn = jax.jit(lambda dd, i: solve_edir(scheme, dd, i, sun.xinc, sun.yinc))
+    edir_cost = cost_of(edirfn, coeffs.dir2dir, inc)
+    t_edir, edir = timeit(edirfn, coeffs.dir2dir, inc)
 
     srcfn = jax.jit(lambda df, e, a: dir2diff_source(scheme, df, e, sun.xinc, sun.yinc)
                     + direct_surface_reflection(scheme, e, a))
+    src_cost = cost_of(srcfn, coeffs.dir2diff, edir, albedo2d)
     t_src, b = timeit(srcfn, coeffs.dir2diff, edir, albedo2d)
 
     x0 = jnp.zeros_like(b)
@@ -116,6 +138,20 @@ def main():
                                   x0=x, maxiter=3000),
         b, reps=3)
 
+    # the hot kernel in isolation: one diffuse transport operator apply
+    # S(x) — the thing BiCGStab evaluates 2x per iteration.  Its cost
+    # model vs wall-clock answers "is the 55%-of-solve phase at the
+    # bandwidth speed-of-light".
+    from tenstream_tpu.pprts.operators import diffuse_scatter
+    from tenstream_tpu.pprts.ediff import vertical_line_solve
+
+    opfn = jax.jit(lambda xx: diffuse_scatter(scheme, coeffs.diff2diff, xx, albedo2d))
+    op_cost = cost_of(opfn, x)
+    t_op, _ = timeit(opfn, x, reps=20)
+    pcfn = jax.jit(lambda rr: vertical_line_solve(scheme, coeffs.diff2diff, rr, albedo2d))
+    pc_cost = cost_of(pcfn, x)
+    t_pc, _ = timeit(pcfn, x, reps=20)
+
     a11, a12 = edd[0], edd[1]
     # must be jitted: eager mode pays the per-op dispatch latency of the
     # remote tunnel (~1 ms/op), inflating this phase ~20x vs its cost
@@ -123,22 +159,50 @@ def main():
     absfn = jax.jit(
         lambda xx: calc_flx_div(scheme, coeffs, xx, grid.volumes(), l1d,
                                 kabs, grid.dz3d, a11, a12, sun=sun, edir=edir))
+    abs_cost = cost_of(absfn, x)
     t_abs, abso = timeit(absfn, x)
+
+    # derived: per-iteration cost of the diffuse solve = 2 operator
+    # applies + 2 preconditioner solves + ~6 vector axpy/dot passes
+    ncell = nlay * NX * NY
+    state_gb = 10 * (nlay + 1) * NX * NY * 4 / 1e9
 
     total = t_asm + t_edir + t_src + t_ediff_cold + t_abs
     print(f"# scene {NX}x{NY}x{nlay}, backend {jax.default_backend()}, "
           f"LUT diff table {np.asarray(lut.diff2diff).shape}")
     print(f"# gas optics (host, all {NGPT} gpt): {t_gas*1e3:.0f} ms")
+    print(f"# peaks used: {PEAK_GBPS:.0f} GB/s HBM, {PEAK_TFLOPS:.0f} TFLOP/s "
+          f"(override PEAK_GBPS/PEAK_TFLOPS)")
     print()
-    print("| phase | ms/gpt | share |")
-    print("|---|---|---|")
-    for name, t in [("coeff assembly", t_asm), ("edir scan", t_edir),
-                    ("sources", t_src),
-                    (f"ediff BiCGStab cold (niter={int(nit)})", t_ediff_cold),
-                    ("absorption", t_abs)]:
-        print(f"| {name} | {t*1e3:.1f} | {t/total*100:.0f}% |")
-    print(f"| ediff warm-start rerun | {t_ediff_warm*1e3:.1f} | — |")
-    print(f"| total (cold, 1 gpt) | {total*1e3:.1f} | 100% |")
+    print("| phase | ms/gpt | share | GFLOP | GB moved | GFLOP/s | GB/s | %HBM peak | %MXU |")
+    print("|---|---|---|---|---|---|---|---|---|")
+
+    def row(name, t, cost, share=None):
+        gf, gb = cost
+        sh = f"{share*100:.0f}%" if share is not None else "—"
+        if gb > 0 and t > 0:
+            print(f"| {name} | {t*1e3:.1f} | {sh} | {gf:.1f} | {gb:.2f} | "
+                  f"{gf/t:.0f} | {gb/t:.0f} | {gb/t/PEAK_GBPS*100:.0f}% | "
+                  f"{gf/t/PEAK_TFLOPS/1e3*100:.2f}% |")
+        else:
+            print(f"| {name} | {t*1e3:.1f} | {sh} | — | — | — | — | — | — |")
+
+    row("coeff assembly", t_asm, asm_cost, t_asm / total)
+    row("edir scan", t_edir, edir_cost, t_edir / total)
+    row("sources", t_src, src_cost, t_src / total)
+    row(f"ediff BiCGStab cold (niter={int(nit)})", t_ediff_cold, (0, 0), t_ediff_cold / total)
+    row("absorption", t_abs, abs_cost, t_abs / total)
+    row("— diffuse operator apply S(x)", t_op, op_cost)
+    row("— line preconditioner solve", t_pc, pc_cost)
+    print(f"| ediff warm-start rerun | {t_ediff_warm*1e3:.1f} | — | | | | | | |")
+    print(f"| total (cold, 1 gpt) | {total*1e3:.1f} | 100% | | | | | | |")
+    print()
+    ideal = 2 * (t_op + t_pc) * int(nit)
+    print(f"# diffuse-solve anatomy: niter={int(nit)}; 2*(S+M^-1)*niter = "
+          f"{ideal*1e3:.1f} ms of the {t_ediff_cold*1e3:.1f} ms cold solve; "
+          f"the remainder is axpy/dot vector traffic "
+          f"(~{max(t_ediff_cold-ideal,0)/max(int(nit),1)*1e3:.2f} ms/iter over "
+          f"{state_gb*1e3:.0f} MB state vectors)")
 
 
 if __name__ == "__main__":
