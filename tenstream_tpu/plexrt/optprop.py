@@ -83,6 +83,10 @@ class WedgeLUT(NamedTuple):
     dir2diff: np.ndarray  # (..., n_dir_src, NDIFF)
     diff2diff: np.ndarray  # (nt,nw,na,ng, NDIFF, NDIFF)
     scheme: str = "5_8"
+    # triangle shape the table was traced on: apex C in units of |AB|
+    # (canonical right triangle = (1, 1)); shape-aware tables for ICON
+    # meshes are traced at the mesh's mean shape (`wedge_lut_for_mesh`)
+    apex: tuple = (1.0, 1.0)
 
 
 def test_axes() -> WedgeAxes:
@@ -290,13 +294,14 @@ def create_wedge_lut(
         assert np.isfinite(t).all(), f"wedge LUT {name} has non-finite entries"
         rows = t.sum(-1)
         assert (rows <= 1.0 + 1e-3).all(), f"wedge LUT {name} row sums exceed 1"
-    return WedgeLUT(daxes, faxes, d2d, d2f, f2f, scheme)
+    return WedgeLUT(daxes, faxes, d2d, d2f, f2f, scheme,
+                    tuple(apex) if apex is not None else (1.0, 1.0))
 
 
 def load_or_create_wedge_lut(
     daxes: Optional[WedgeAxes] = None, faxes: Optional[WedgeAxes] = None,
     n_photons: int = 5000, basename: Optional[str] = None, verbose: bool = False,
-    scheme: str = "5_8",
+    scheme: str = "5_8", apex=None,
 ) -> WedgeLUT:
     daxes = daxes or test_axes()
     faxes = faxes or WedgeAxes(daxes.tau, daxes.w0, daxes.aspect, daxes.g)
@@ -304,19 +309,48 @@ def load_or_create_wedge_lut(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "data", "luts",
     )
+    apex_t = tuple(float(v) for v in apex) if apex is not None else (1.0, 1.0)
+    apex_key = "" if apex is None else f"{apex_t[0]:.4f},{apex_t[1]:.4f}"
     key = hashlib.sha256(
-        (daxes.hash() + faxes.hash() + str(n_photons)).encode()
+        (daxes.hash() + faxes.hash() + str(n_photons) + apex_key).encode()
     ).hexdigest()[:16]
     path = os.path.join(root, f"WEDGE_LUT_{scheme}_{key}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return WedgeLUT(daxes, faxes, z["dir2dir"], z["dir2diff"], z["diff2diff"],
-                        scheme)
-    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose, scheme=scheme)
+                        scheme, apex_t)
+    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose, scheme=scheme,
+                           apex=apex)
     os.makedirs(root, exist_ok=True)
     np.savez_compressed(path, dir2dir=lut.dir2dir, dir2diff=lut.dir2diff,
                         diff2diff=lut.diff2diff)
     return lut
+
+
+def wedge_lut_for_mesh(mesh, daxes=None, faxes=None, n_photons: int = 5000,
+                       basename=None, verbose: bool = False) -> WedgeLUT:
+    """Shape-AWARE wedge table for an unstructured mesh: traced at the
+    mesh's mean cell shape (area-weighted mean apex in the per-cell
+    canonical frame) instead of the canonical right triangle.
+
+    This replaces the reference's triangle-shape LUT axes
+    (`src/optprop_base.F90:230-243`) for the practical ICON case where
+    cell shapes cluster tightly around one (near-equilateral) shape:
+    residual per-cell shape deviation is handled by the param-phi
+    azimuth map relative to THIS table's shape (`LUT_param_phi`
+    analogue).  Flux-level accuracy quantified in
+    `tools/wedge_shape_error.py` / PARITY.md."""
+    v = mesh.verts[mesh.tris]  # (nc, 3, 2)
+    ab = v[:, 1] - v[:, 0]
+    ac = v[:, 2] - v[:, 0]
+    L = np.maximum(np.linalg.norm(ab, axis=-1), 1e-30)
+    abh = ab / L[:, None]
+    cx = (ac * abh).sum(-1) / L
+    cy = np.abs(ac[:, 1] * abh[:, 0] - ac[:, 0] * abh[:, 1]) / L
+    w = mesh.area / mesh.area.sum()
+    apex = (float((cx * w).sum()), float(np.maximum((cy * w).sum(), 1e-3)))
+    return load_or_create_wedge_lut(daxes, faxes, n_photons, basename,
+                                    verbose, apex=apex)
 
 
 class WedgeOptProp:

@@ -75,10 +75,14 @@ class PlexrtSolverIcon:
         cx = (ac * abh).sum(-1) / L
         cy = (ac[:, 1] * abh[:, 0] - ac[:, 0] * abh[:, 1]) / L
         self._wedge_C = (jnp.asarray(cx, ireals), jnp.asarray(np.maximum(cy, 1e-6), ireals))
-        # canonical table triangle: A=(0,0), B=(1,0), C=(1,1) (the
-        # structured split, `plexrt/wedge_boxmc.py` docstring)
+        # the table's own triangle shape (canonical right triangle
+        # (1, 1) unless a shape-aware table was traced for this mesh,
+        # `optprop.wedge_lut_for_mesh`); the param-phi azimuth map
+        # targets THIS shape
+        self._table_apex = tuple(getattr(opp.lut, "apex", (1.0, 1.0)))
         self._use_param_phi = bool(
-            np.max(np.abs(cx - 1.0)) > 1e-3 or np.max(np.abs(cy - 1.0)) > 1e-3
+            np.max(np.abs(cx - self._table_apex[0])) > 1e-3
+            or np.max(np.abs(cy - self._table_apex[1])) > 1e-3
         )
 
     def set_angles(self, sundir) -> None:
@@ -136,7 +140,7 @@ class PlexrtSolverIcon:
 
                 phi_cell = canonical_azimuth_map(
                     phi_cell, self._wedge_C[0][None, :], self._wedge_C[1][None, :],
-                    1.0, 1.0,
+                    self._table_apex[0], self._table_apex[1],
                 )
             d2d, d2f = self.opp.dir_coeffs(tauz, w0, self._g, aspect, phi_cell, theta)
         return f2f, d2d, d2f

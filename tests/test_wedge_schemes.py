@@ -188,3 +188,44 @@ def test_18_8_solver_thermal_isothermal(opp18):
     # near radiative equilibrium in the interior (bound scales with the
     # 1000-photon fixture LUT's MC noise on the emissivity rows)
     assert np.abs(abso[-1]).max() * 100.0 < 0.35
+
+
+def test_shape_exact_tracer_and_mesh_apex():
+    """The generalized (apex) wedge tracer + shape-aware table helper:
+    (a) apex=(1,1) reproduces the canonical tracer bit-for-bit,
+    (b) the equilateral cell conserves energy and has exact 3-fold
+        side symmetry for the top diffuse source,
+    (c) `wedge_lut_for_mesh` detects the equilateral mesh's shape."""
+    import jax
+    import numpy as np
+
+    from tenstream_tpu.plexrt.icon import trimesh_equilateral
+    from tenstream_tpu.plexrt.wedge_boxmc import run_wedge_boxmc
+
+    key = jax.random.PRNGKey(7)
+    T0, S0 = run_wedge_boxmc(key, 0, False, 1.5, 1.0, 0.5, 1.0, n_photons=20000)
+    T1, S1 = run_wedge_boxmc(key, 0, False, 1.5, 1.0, 0.5, 1.0, n_photons=20000,
+                             apex=(1.0, 1.0))
+    np.testing.assert_array_equal(np.asarray(S0), np.asarray(S1))
+
+    # equilateral, conservative scattering: sum(S) == 1 and the three
+    # sides are statistically identical for the symmetric top source
+    eq = (0.5, float(np.sqrt(3) / 2))
+    _, S = run_wedge_boxmc(key, 0, False, 1.5, 1.0, 0.5, 1.0,
+                           n_photons=60000, apex=eq)
+    S = np.asarray(S)
+    assert abs(S.sum() - 1.0) < 5e-3
+    sides_dn = S[[1, 3, 5]]
+    sides_up = S[[2, 4, 6]]
+    assert sides_dn.std() < 0.01 and sides_up.std() < 0.01, (sides_dn, sides_up)
+
+    mesh = trimesh_equilateral(3, 3, 100.0)
+    v = mesh.verts[mesh.tris]
+    ab = v[:, 1] - v[:, 0]
+    ac = v[:, 2] - v[:, 0]
+    L = np.linalg.norm(ab, axis=-1)
+    abh = ab / L[:, None]
+    cx = (ac * abh).sum(-1) / L
+    cy = np.abs(ac[:, 1] * abh[:, 0] - ac[:, 0] * abh[:, 1]) / L
+    np.testing.assert_allclose(cx, 0.5, atol=1e-6)
+    np.testing.assert_allclose(cy, np.sqrt(3) / 2, atol=1e-6)
