@@ -52,20 +52,38 @@ def _pick_tx(nx: int) -> int:
 def _make_apply(scheme, coeff, albedo2d, use_pallas: bool, shape):
     """The diffuse transport operator S(x), either the XLA
     gather->einsum->scatter path or the fused Pallas kernel
-    (`pprts/pallas_ops.py`; option `-pprts_pallas_diffuse`)."""
+    (`pprts/pallas_ops.py`; option `-pprts_pallas_diffuse`).  With
+    orbit-compressed coefficients the Pallas path uses the orbit kernel
+    (24 coeff channels/cell instead of 100 — the bandwidth
+    speed-of-light form)."""
     if not use_pallas:
         return lambda x: diffuse_scatter(scheme, coeff, x, albedo2d)
+
+    tx = _pick_tx(shape[2])
+    interp = jax.default_backend() != "tpu"  # interpret off-TPU
+
+    if isinstance(coeff, OrbitCoeff):
+        from tenstream_tpu.pprts.pallas_ops import (
+            diffuse_apply_pallas_orbit,
+            prepare_orbit_coeff_pallas,
+        )
+
+        cprep = prepare_orbit_coeff_pallas(coeff.orb)
+        idx_bytes = coeff.idx.tobytes()
+
+        def apply(x):
+            out = diffuse_apply_pallas_orbit(
+                scheme, idx_bytes, cprep, x, tx=tx, interpret=interp)
+            return add_surface_reflection(scheme, out, x, albedo2d)
+
+        return apply
 
     from tenstream_tpu.pprts.pallas_ops import (
         diffuse_apply_pallas,
         prepare_coeff_pallas,
     )
 
-    if isinstance(coeff, OrbitCoeff):  # pallas kernel wants the dense field
-        coeff = coeff.full()
     cprep = prepare_coeff_pallas(coeff)
-    tx = _pick_tx(shape[2])
-    interp = jax.default_backend() != "tpu"  # interpret off-TPU
 
     def apply(x):
         out = diffuse_apply_pallas(scheme, cprep, x, tx=tx, interpret=interp)
@@ -289,8 +307,10 @@ def solve_bicgstab(
         (`src/pprts_explicit.F90:134-136`).
     """
 
+    S_apply = _make_apply(scheme, coeff, albedo2d, use_pallas, b.shape)
+
     def A(x):
-        return x - diffuse_scatter(scheme, coeff, x, albedo2d)
+        return x - S_apply(x)
 
     if precond and scheme.difftop.dof == 2:
         M = lambda r: vertical_line_solve(scheme, coeff, r, albedo2d)

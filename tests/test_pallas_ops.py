@@ -45,3 +45,55 @@ def test_kernel_bf16_coeffs():
     )
     out = diffuse_apply_pallas(s, prepare_coeff_pallas(coeff), x, tx=2, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-3)
+
+
+def test_orbit_kernel_matches_xla():
+    """The orbit-channel Pallas kernel (24 coeff channels instead of 100
+    — the bandwidth speed-of-light form) must be element-exact against
+    the orbit-direct XLA path on a random-but-orbit-consistent field."""
+    from tenstream_tpu.pprts.operators import OrbitCoeff, diffuse_scatter
+    from tenstream_tpu.pprts.pallas_ops import (
+        diffuse_apply_pallas_orbit,
+        prepare_orbit_coeff_pallas,
+    )
+
+    s = get_scheme("3_10")
+    nd, nz, nx, ny = s.ndiff, 5, 8, 16
+    rng = np.random.default_rng(3)
+    # a synthetic orbit partition (the kernel only needs idx consistency,
+    # not the physical cube-group one): 17 orbits scattered over (s, d)
+    norb = 17
+    idx = rng.integers(0, norb, (nd, nd))
+    orb = jnp.asarray(rng.random((norb, nz, nx, ny)) * 0.1, jnp.float32)
+    oc = OrbitCoeff(orb, idx)
+    x = jnp.asarray(rng.random((nd, nz + 1, nx, ny)), jnp.float32)
+
+    ref = diffuse_scatter(s, oc, x)  # no albedo closure in the kernel
+    out = diffuse_apply_pallas_orbit(
+        s, oc.idx.tobytes(), prepare_orbit_coeff_pallas(orb), x,
+        tx=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_bicgstab_pallas_orbit_path():
+    """solve_bicgstab(use_pallas=True) on OrbitCoeff must reproduce the
+    XLA path's solution (interpret mode)."""
+    from tenstream_tpu.pprts.ediff import solve_bicgstab
+    from tenstream_tpu.pprts.operators import OrbitCoeff
+
+    s = get_scheme("3_10")
+    nd, nz, nx, ny = s.ndiff, 4, 8, 16
+    rng = np.random.default_rng(5)
+    norb = 12
+    idx = rng.integers(0, norb, (nd, nd))
+    orb = jnp.asarray(rng.random((norb, nz, nx, ny)) * 0.05, jnp.float32)
+    oc = OrbitCoeff(orb, idx)
+    b = jnp.asarray(rng.random((nd, nz + 1, nx, ny)), jnp.float32)
+    alb = jnp.full((nx, ny), 0.2, jnp.float32)
+
+    x_ref, n_ref, _ = solve_bicgstab(s, oc, b, alb, maxiter=200, precond=False)
+    x_pl, n_pl, _ = solve_bicgstab(s, oc, b, alb, maxiter=200, precond=False,
+                                   use_pallas=True)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
