@@ -52,13 +52,24 @@ def main():
     from tenstream_tpu.streams import get_scheme
 
     lut = load_bench_lut()
-    opp = OptProp(lut)
+    # mirror bench.py's large-grid memory configuration (simplex +
+    # scan-looped gathers, orbit storage, z-slab assembly) — without it
+    # the one-shot batched assembly OOMs at 256^2
+    big = NX * NY >= 128 * 128
+    opp = OptProp(lut, interp_mode="simplex" if big else "multilinear",
+                  loop_gathers=big)
     scheme = get_scheme("3_10")
     atm, lwc = build_scene()
     nlay = atm.nlay
     grid = Grid.create(nlay, NX, NY, 100.0, 100.0, atm.dz.astype(np.float32))
     sun = suninfo_from_sundir(sundir_from_angles(120.0, 40.0))
-    l1d = determine_1d_layers(grid.dz3d, grid.dx, 2.0)
+    l1d = np.asarray(determine_1d_layers(grid.dz3d, grid.dx, 2.0))
+    nz3 = int((~l1d).sum())
+    ncell3 = nz3 * NX * NY
+    z_slab = 0
+    if ncell3 > 4_000_000:
+        n_steps = max(1, -(-ncell3 // 1_000_000))
+        z_slab = max(1, -(-nz3 // n_steps))
 
     gas = EcckdGasOptics(n_gpt=NGPT)
     t0 = time.time()
@@ -114,7 +125,8 @@ def main():
 
     assemble = jax.jit(functools.partial(
         assemble_coeffs, scheme, opp, dz3d=grid.dz3d, dx=grid.dx, l1d=l1d,
-        sun=sun, need_dir=True))
+        sun=sun, need_dir=True, z_slab=z_slab,
+        orbit=getattr(opp, "_solver_orbit_idx", None) is not None))
     asm_cost = cost_of(assemble, kabs, ksca, g)
     t_asm, (coeffs, edd) = timeit(lambda a, b, c: assemble(a, b, c), kabs, ksca, g)
 
@@ -151,6 +163,22 @@ def main():
     pcfn = jax.jit(lambda rr: vertical_line_solve(scheme, coeffs.diff2diff, rr, albedo2d))
     pc_cost = cost_of(pcfn, x)
     t_pc, _ = timeit(pcfn, x, reps=20)
+
+    # A/B: the orbit-channel Pallas kernel (jit-wrapped so the
+    # pad/transpose prep is amortizable; cost model unavailable for
+    # pallas_call — analytic bytes instead)
+    t_op_pl = None
+    from tenstream_tpu.pprts.operators import OrbitCoeff
+
+    if isinstance(coeffs.diff2diff, OrbitCoeff):
+        try:
+            from tenstream_tpu.pprts.ediff import _make_apply, _pick_tx
+
+            apl = _make_apply(scheme, coeffs.diff2diff, albedo2d, True, x.shape)
+            apl_j = jax.jit(apl)
+            t_op_pl, _ = timeit(apl_j, x, reps=20)
+        except Exception as e:
+            print(f"# pallas orbit kernel skipped: {e!r}", file=sys.stderr)
 
     a11, a12 = edd[0], edd[1]
     # must be jitted: eager mode pays the per-op dispatch latency of the
@@ -193,6 +221,12 @@ def main():
     row(f"ediff BiCGStab cold (niter={int(nit)})", t_ediff_cold, (0, 0), t_ediff_cold / total)
     row("absorption", t_abs, abs_cost, t_abs / total)
     row("— diffuse operator apply S(x)", t_op, op_cost)
+    if t_op_pl is not None:
+        # analytic traffic of the orbit kernel: read 10 flux + norb
+        # coeff channels, write 10 flux channels per cell
+        norb = coeffs.diff2diff.orb.shape[0]
+        gb_pl = (10 * (nlay + 1) * 2 + norb * nlay) * NX * NY * 4 / 1e9
+        row("— S(x) via orbit Pallas kernel", t_op_pl, (op_cost[0], gb_pl))
     row("— line preconditioner solve", t_pc, pc_cost)
     print(f"| ediff warm-start rerun | {t_ediff_warm*1e3:.1f} | — | | | | | | |")
     print(f"| total (cold, 1 gpt) | {total*1e3:.1f} | 100% | | | | | | |")
