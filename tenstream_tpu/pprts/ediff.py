@@ -63,17 +63,13 @@ def _make_apply(scheme, coeff, albedo2d, use_pallas: bool, shape):
     interp = jax.default_backend() != "tpu"  # interpret off-TPU
 
     if isinstance(coeff, OrbitCoeff):
-        from tenstream_tpu.pprts.pallas_ops import (
-            diffuse_apply_pallas_orbit,
-            prepare_orbit_coeff_pallas,
-        )
+        from tenstream_tpu.pprts.pallas_ops import diffuse_apply_pallas_orbit
 
-        cprep = prepare_orbit_coeff_pallas(coeff.orb)
         idx_bytes = coeff.idx.tobytes()
 
         def apply(x):
             out = diffuse_apply_pallas_orbit(
-                scheme, idx_bytes, cprep, x, tx=tx, interpret=interp)
+                scheme, idx_bytes, coeff.orb, x, interpret=interp)
             return add_surface_reflection(scheme, out, x, albedo2d)
 
         return apply

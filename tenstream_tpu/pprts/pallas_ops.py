@@ -97,64 +97,47 @@ def prepare_coeff_pallas(coeff: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([c[:, :, -1:], c, c[:, :, :1]], axis=2)
 
 
-def _orbit_kernel(cshift, gshift, groups, nzp1, tx, ny, x_ref, c_ref, o_ref):
-    """Orbit-channel variant of `_kernel`: the coefficient block holds
-    only the `norb` (24 for 3_10) symmetry-orbit channels instead of the
-    dense nd^2 (100) field, cutting the kernel's HBM traffic from
-    ~480 B/cell to ~176 B/cell per application — the bandwidth
-    speed-of-light for this operator (reads: 10 flux + 24 coeff
-    channels; writes: 10).  `groups[d]` is the static
-    (orbit -> source list) map; sources sharing an orbit for the same
-    destination are summed BEFORE the multiply (same algebra as
-    `operators._orbit_contrib`)."""
-    nd = len(cshift)
-    xs_all = []
-    for s in range(nd):
-        gz, gx, gy = gshift[s]
-        xs = x_ref[s, gx:gx + tx + 1, gz:gz + nzp1 + 1, :]
-        if gy:
-            xs = pltpu.roll(xs, (-gy) % ny, 2)
-        xs_all.append(xs)
+def _contract_kernel(groups, s_ref, c_ref, o_ref):
+    """Pure per-cell orbit contraction: contrib[d] = sum over orbit
+    groups of orb[o] * sum(src[s in group]).  No halos, no shifts —
+    trivially partitionable blocks."""
+    nd = len(groups)
     for d in range(nd):
-        dzc, dxc, dyc = cshift[d]
         acc = None
         for o, ss in groups[d]:
-            ssum = xs_all[ss[0]]
+            ssum = s_ref[ss[0]]
             for s in ss[1:]:
-                ssum = ssum + xs_all[s]
-            cs = c_ref[o, 0:tx + 1, 0:nzp1 + 1, :]
-            term = ssum * cs.astype(ssum.dtype)
+                ssum = ssum + s_ref[s]
+            term = ssum * c_ref[o].astype(ssum.dtype)
             acc = term if acc is None else acc + term
-        out = acc[1 + dxc:1 + dxc + tx, 1 + dzc:1 + dzc + nzp1, :]
-        if dyc:
-            out = pltpu.roll(out, (-dyc) % ny, 2)
-        o_ref[d] = out
+        o_ref[d] = acc
 
 
-def prepare_orbit_coeff_pallas(orb: jnp.ndarray) -> jnp.ndarray:
-    """(norb, Nz, Nx, Ny) orbit channels -> halo-padded x-major layout."""
-    c = jnp.moveaxis(orb, 2, 1)  # (norb, Nx, Nz, Ny)
-    c = jnp.pad(c, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    return jnp.concatenate([c[:, -1:], c, c[:, :1]], axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("scheme", "idx_bytes", "tx", "interpret"))
-def diffuse_apply_pallas_orbit(
-    scheme: StreamScheme,
+@functools.partial(jax.jit, static_argnames=("idx_bytes", "tz", "tx", "interpret"))
+def orbit_contract_pallas(
     idx_bytes: bytes,  # static (nd, nd) orbit-id table (OrbitCoeff.idx)
-    coeff_prepared: jnp.ndarray,  # from prepare_orbit_coeff_pallas
-    x: jnp.ndarray,  # (nd, Nz+1, Nx, Ny)
-    tx: int = 4,
+    orb: jnp.ndarray,  # (norb, Nz, Nx, Ny)
+    src: jnp.ndarray,  # (nd, Nz, Nx, Ny) per-cell source values
+    tz: int = 4,
+    tx: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """contrib[d] = sum_s orb[idx[s, d]] * src[s], as one fused kernel.
+
+    This is the hot inner contraction of the diffuse operator: the XLA
+    fusion re-reads the inputs per output channel (~200 channel-reads
+    per cell measured as 7.9 GB/apply at 256^2x113); here each block
+    loads the 10 src + norb (24) coeff channels into VMEM ONCE and
+    writes 10 — the bandwidth speed-of-light for the contraction.
+    Blocks partition (z, x) with no halos (the +-1 shift handling lives
+    in the XLA gather/scatter wrappers, which fuse into cheap rolls), so
+    the TPU (8, 128) tiling constraints are satisfied by construction.
+    """
     import numpy as np
 
-    nd, nzp1, nx, ny = x.shape
-    nz = nzp1 - 1
-    norb = coeff_prepared.shape[0]
-    assert nx % tx == 0, (nx, tx)
+    nd, nz, nx, ny = src.shape
+    norb = orb.shape[0]
     idx = np.frombuffer(idx_bytes, np.int64).reshape(nd, nd)
-    cshift, gshift = _shift_tables(scheme)
     groups = []
     for d in range(nd):
         by_orbit = {}
@@ -163,27 +146,40 @@ def diffuse_apply_pallas_orbit(
         groups.append(tuple(sorted((o, tuple(ss)) for o, ss in by_orbit.items())))
     groups = tuple(groups)
 
-    xp = jnp.moveaxis(x, 1, 2)  # (nd, Nx, Nz+1, Ny)
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    xp = jnp.concatenate([xp[:, -1:], xp, xp[:, :1]], axis=1)
-
-    kern = functools.partial(_orbit_kernel, cshift, gshift, groups, nzp1, tx, ny)
-    out = pl.pallas_call(
+    tx = min(tx, nx)
+    tz = min(tz, nz)
+    kern = functools.partial(_contract_kernel, groups)
+    return pl.pallas_call(
         kern,
-        grid=(nx // tx,),
+        grid=(-(-nz // tz), -(-nx // tx)),
         in_specs=[
-            pl.BlockSpec((pl.Element(nd), pl.Element(tx + 2),
-                          pl.Element(nzp1 + 2), pl.Element(ny)),
-                         lambda i: (0, i * tx, 0, 0)),
-            pl.BlockSpec((pl.Element(norb), pl.Element(tx + 2),
-                          pl.Element(nz + 2), pl.Element(ny)),
-                         lambda i: (0, i * tx, 0, 0)),
+            pl.BlockSpec((nd, tz, tx, ny), lambda j, i: (0, j, i, 0)),
+            pl.BlockSpec((norb, tz, tx, ny), lambda j, i: (0, j, i, 0)),
         ],
-        out_specs=pl.BlockSpec((nd, tx, nzp1, ny), lambda i: (0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nd, nx, nzp1, ny), x.dtype),
+        out_specs=pl.BlockSpec((nd, tz, tx, ny), lambda j, i: (0, j, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nd, nz, nx, ny), src.dtype),
         interpret=interpret,
-    )(xp, coeff_prepared)
-    return jnp.moveaxis(out, 1, 2)  # back to (nd, Nz+1, Nx, Ny)
+    )(src, orb)
+
+
+def diffuse_apply_pallas_orbit(
+    scheme: StreamScheme,
+    idx_bytes: bytes,
+    orb: jnp.ndarray,  # (norb, Nz, Nx, Ny) — raw OrbitCoeff channels
+    x: jnp.ndarray,  # (nd, Nz+1, Nx, Ny)
+    tx: int = 32,
+    tz: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """S(x) with the Pallas orbit contraction: XLA gather (face->cell
+    shifts, fuses to rolls/slices) -> `orbit_contract_pallas` ->
+    XLA scatter (cell->face shifts)."""
+    from tenstream_tpu.pprts.operators import gather_diff_src, scatter_diff_dst
+
+    src = gather_diff_src(scheme, x)
+    contrib = orbit_contract_pallas(idx_bytes, orb, src, tz=tz, tx=tx,
+                                    interpret=interpret)
+    return scatter_diff_dst(scheme, contrib, x.shape[1] - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("scheme", "tx", "interpret"))

@@ -369,10 +369,6 @@ class PprtsSolver:
         # either way.
         compress_coeffs = self.options.get_bool("pprts_coeff_bf16", False)
         use_geometric = self.options.get_bool("pprts_geometric_coeffs", False)
-        # fused Pallas diffuse operator (pprts/pallas_ops.py); measured
-        # slower than the XLA path on v5e at current block sizes, so off
-        # by default — kept as an option for future tuning
-        use_pallas_diff = self.options.get_bool("pprts_pallas_diffuse", False)
         # z-slab-chunked LUT assembly: bound the corner-gather temps on
         # large grids (see coeffs._zslab_map).  Auto: slabs of <=~1M
         # cells once the grid exceeds 4M cells; -pprts_assembly_z_slab
@@ -396,6 +392,16 @@ class PprtsSolver:
             self.options.get_bool("pprts_orbit_coeffs", True)
             and buildings is None
             and getattr(opp, "_solver_orbit_idx", None) is not None
+        )
+        # Pallas diffuse operator (pprts/pallas_ops.py).  Round-3
+        # redesign: the orbit-channel CONTRACTION kernel (XLA keeps the
+        # cheap gather/scatter rolls) measures 5.5 vs 8.5 ms per apply
+        # at 256^2x113 on v5e, bit-exact vs the XLA path — default ON
+        # for TPU with orbit coefficients.  (The old dense-field halo
+        # kernel that measured slower remains opt-in for A/Bs.)
+        use_pallas_diff = self.options.get_bool(
+            "pprts_pallas_diffuse",
+            jax.default_backend() == "tpu" and orbit_coeffs,
         )
 
         @jax.jit
@@ -736,12 +742,21 @@ class PprtsSolver:
         keys = list(self._pending_convergence) if uid is None else (
             [uid] if uid in self._pending_convergence else []
         )
+        if not keys:
+            return
+        # ONE batched device->host fetch: per-buffer np.asarray costs a
+        # full network round-trip each on tunneled chips (~30 ms x
+        # 3 metrics x N chunks measured as +0.5 s per spectral call);
+        # concatenating device-side first makes it 3 small transfers
+        pend = [self._pending_convergence.pop(k) for k in keys]
+        cat = lambda i: np.asarray(jnp.concatenate(
+            [jnp.atleast_1d(jnp.max(p[i])).ravel().astype(jnp.float32) for p in pend]))
+        niter_a, res_a, tol_a = cat(0), cat(1), cat(2)
         failed = []
-        for k in keys:
-            niter, res, tol = self._pending_convergence.pop(k)
-            niter_h = int(np.max(np.asarray(niter)))
-            res_h = float(np.max(np.asarray(res)))
-            tol_h = float(np.max(np.asarray(tol)))
+        for j, k in enumerate(keys):
+            niter_h = int(niter_a[j])
+            res_h = float(res_a[j])
+            tol_h = float(tol_a[j])
             # the residual is the failure signal: niter alone can reach
             # max_it legitimately (BiCGStab + polish counts are summed)
             # while a stalled solve always leaves res >> tol

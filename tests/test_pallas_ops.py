@@ -52,10 +52,7 @@ def test_orbit_kernel_matches_xla():
     — the bandwidth speed-of-light form) must be element-exact against
     the orbit-direct XLA path on a random-but-orbit-consistent field."""
     from tenstream_tpu.pprts.operators import OrbitCoeff, diffuse_scatter
-    from tenstream_tpu.pprts.pallas_ops import (
-        diffuse_apply_pallas_orbit,
-        prepare_orbit_coeff_pallas,
-    )
+    from tenstream_tpu.pprts.pallas_ops import diffuse_apply_pallas_orbit
 
     s = get_scheme("3_10")
     nd, nz, nx, ny = s.ndiff, 5, 8, 16
@@ -70,8 +67,7 @@ def test_orbit_kernel_matches_xla():
 
     ref = diffuse_scatter(s, oc, x)  # no albedo closure in the kernel
     out = diffuse_apply_pallas_orbit(
-        s, oc.idx.tobytes(), prepare_orbit_coeff_pallas(orb), x,
-        tx=4, interpret=True,
+        s, oc.idx.tobytes(), orb, x, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 

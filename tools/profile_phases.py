@@ -157,26 +157,32 @@ def main():
     from tenstream_tpu.pprts.operators import diffuse_scatter
     from tenstream_tpu.pprts.ediff import vertical_line_solve
 
-    opfn = jax.jit(lambda xx: diffuse_scatter(scheme, coeffs.diff2diff, xx, albedo2d))
-    op_cost = cost_of(opfn, x)
-    t_op, _ = timeit(opfn, x, reps=20)
-    pcfn = jax.jit(lambda rr: vertical_line_solve(scheme, coeffs.diff2diff, rr, albedo2d))
-    pc_cost = cost_of(pcfn, x)
-    t_pc, _ = timeit(pcfn, x, reps=20)
+    # NB coefficient fields are passed as ARGUMENTS, not closures: a
+    # closed-over 0.8 GB device array becomes an HLO constant and blows
+    # the remote-compile request size on tunneled chips (HTTP 413)
+    opfn = jax.jit(lambda cc, xx: diffuse_scatter(scheme, cc, xx, albedo2d))
+    op_cost = cost_of(opfn, coeffs.diff2diff, x)
+    t_op, _ = timeit(opfn, coeffs.diff2diff, x, reps=20)
+    pcfn = jax.jit(lambda cc, rr: vertical_line_solve(scheme, cc, rr, albedo2d))
+    pc_cost = cost_of(pcfn, coeffs.diff2diff, x)
+    t_pc, _ = timeit(pcfn, coeffs.diff2diff, x, reps=20)
 
     # A/B: the orbit-channel Pallas kernel (jit-wrapped so the
     # pad/transpose prep is amortizable; cost model unavailable for
     # pallas_call — analytic bytes instead)
     t_op_pl = None
-    from tenstream_tpu.pprts.operators import OrbitCoeff
+    from tenstream_tpu.pprts.operators import OrbitCoeff, add_surface_reflection
 
     if isinstance(coeffs.diff2diff, OrbitCoeff):
         try:
-            from tenstream_tpu.pprts.ediff import _make_apply, _pick_tx
+            from tenstream_tpu.pprts.pallas_ops import diffuse_apply_pallas_orbit
 
-            apl = _make_apply(scheme, coeffs.diff2diff, albedo2d, True, x.shape)
-            apl_j = jax.jit(apl)
-            t_op_pl, _ = timeit(apl_j, x, reps=20)
+            idxb = coeffs.diff2diff.idx.tobytes()
+            apl = jax.jit(lambda co, xx: add_surface_reflection(
+                scheme,
+                diffuse_apply_pallas_orbit(scheme, idxb, co, xx),
+                xx, albedo2d))
+            t_op_pl, _ = timeit(apl, coeffs.diff2diff.orb, x, reps=20)
         except Exception as e:
             print(f"# pallas orbit kernel skipped: {e!r}", file=sys.stderr)
 
@@ -185,10 +191,11 @@ def main():
     # remote tunnel (~1 ms/op), inflating this phase ~20x vs its cost
     # inside the solver's jitted graph
     absfn = jax.jit(
-        lambda xx: calc_flx_div(scheme, coeffs, xx, grid.volumes(), l1d,
-                                kabs, grid.dz3d, a11, a12, sun=sun, edir=edir))
-    abs_cost = cost_of(absfn, x)
-    t_abs, abso = timeit(absfn, x)
+        lambda cc, xx, ed: calc_flx_div(scheme, cc, xx, grid.volumes(), l1d,
+                                        kabs, grid.dz3d, a11, a12, sun=sun,
+                                        edir=ed))
+    abs_cost = cost_of(absfn, coeffs, x, edir)
+    t_abs, abso = timeit(absfn, coeffs, x, edir)
 
     # derived: per-iteration cost of the diffuse solve = 2 operator
     # applies + 2 preconditioner solves + ~6 vector axpy/dot passes
