@@ -35,7 +35,14 @@ def main(grid_path=None, nz=8):
     mesh = read_icon_grid(grid_path)
     print(f"mesh: {mesh.ncell} cells, {mesh.verts.shape[0]} vertices")
 
-    opp = WedgeOptProp(load_or_create_wedge_lut(n_photons=2000, verbose=True))
+    # shape-AWARE table: traced at the mesh's mean cell shape instead of
+    # the canonical right triangle (canonical tables cost ~10-16% flux
+    # error on equilateral ICON cells — tools/wedge_shape_error.py,
+    # PARITY.md); this structured demo mesh IS canonical-shaped, so the
+    # helper reproduces the canonical table here
+    from tenstream_tpu.plexrt.optprop import wedge_lut_for_mesh
+
+    opp = WedgeOptProp(wedge_lut_for_mesh(mesh, n_photons=2000, verbose=True))
     solver = PlexrtSolverIcon(mesh, np.full(nz, 60.0), opp)
 
     ka = np.full((nz, mesh.ncell), 1e-5, np.float32)

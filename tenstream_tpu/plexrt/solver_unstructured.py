@@ -84,6 +84,22 @@ class PlexrtSolverIcon:
             np.max(np.abs(cx - self._table_apex[0])) > 1e-3
             or np.max(np.abs(cy - self._table_apex[1])) > 1e-3
         )
+        # quantified round-3 (tools/wedge_shape_error.py, PARITY.md):
+        # evaluating a strongly different table shape costs ~10-16%
+        # flux error even with the param-phi azimuth map — warn loudly
+        dev = float(max(np.max(np.abs(cx - self._table_apex[0])),
+                        np.max(np.abs(cy - self._table_apex[1]))))
+        if dev > 0.15:
+            import warnings
+
+            warnings.warn(
+                f"mesh cell shapes deviate from the coefficient table's "
+                f"triangle by up to {dev:.2f} (apex units) — measured "
+                f"~10-16% flux error at deviation 0.5 (PARITY.md); build "
+                f"a shape-aware table with "
+                f"tenstream_tpu.plexrt.optprop.wedge_lut_for_mesh(mesh)",
+                stacklevel=2,
+            )
 
     def set_angles(self, sundir) -> None:
         self._sundir = np.asarray(sundir, np.float64)
