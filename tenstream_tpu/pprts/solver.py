@@ -393,16 +393,16 @@ class PprtsSolver:
             and buildings is None
             and getattr(opp, "_solver_orbit_idx", None) is not None
         )
-        # Pallas diffuse operator (pprts/pallas_ops.py).  Round-3
-        # redesign: the orbit-channel CONTRACTION kernel (XLA keeps the
-        # cheap gather/scatter rolls) measures 5.5 vs 8.5 ms per apply
-        # at 256^2x113 on v5e, bit-exact vs the XLA path — default ON
-        # for TPU with orbit coefficients.  (The old dense-field halo
-        # kernel that measured slower remains opt-in for A/Bs.)
-        use_pallas_diff = self.options.get_bool(
-            "pprts_pallas_diffuse",
-            jax.default_backend() == "tpu" and orbit_coeffs,
-        )
+        # Pallas diffuse operator (pprts/pallas_ops.py).  The round-3
+        # orbit-channel CONTRACTION kernel measures 5.5 vs 8.5 ms per
+        # STANDALONE apply at 256^2x113 on v5e (bit-exact), but IN
+        # CONTEXT — vmapped band dim + inside the BiCGStab while-loop —
+        # the full 256^2 cold solve ran 5x SLOWER (1842 s vs 376 s;
+        # 64^2 was neutral): the pallas_call boundary breaks XLA's
+        # fusion of the operator into the surrounding Krylov vector ops
+        # and pays per-grid-step overhead x232 tiles.  OFF by default;
+        # kept as an option (BENCH_PALLAS=1) for future Mosaic tuning.
+        use_pallas_diff = self.options.get_bool("pprts_pallas_diffuse", False)
 
         @jax.jit
         def run(kabs, ksca, g, albedo2d, planck, planck_srfc, edirTOA, x0,
