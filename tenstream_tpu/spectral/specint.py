@@ -412,6 +412,16 @@ def specint_pprts(
             solver._spectral_cache = {}
             solver._spectral_trackers = {}
         adaptive = time is not None and max_solution_err > 0 and max_solution_time > 0
+        # cross-band seeding (reference initial-guess-from-last-uid,
+        # `src/pprts.F90:2536-2558`, where sequential uids ARE the
+        # spectral bands): a cold chunk starts from the PREVIOUS chunk's
+        # converged states — adjacent g-points have similar transport,
+        # so this replaces O(100)-iteration zero-start solves with
+        # O(10)-iteration refinements exactly where the per-band state
+        # cache is disabled (the large-grid regime).  Pure initial
+        # guess: the residual tolerance gates are unchanged.
+        band_seed = solver.options.get_bool("specint_band_seed", True)
+        last_x = None
         for lo in range(g_lo, g_hi, band_chunk):
             hi = min(lo + band_chunk, g_hi)
             nb = hi - lo
@@ -436,6 +446,9 @@ def specint_pprts(
                 x0 = (np.asarray(prev.ediff, dtype=ireals)
                       if isinstance(prev.ediff, np.ndarray)
                       else prev.ediff.astype(ireals))
+            elif band_seed and last_x is not None and last_x.shape[0] == nb:
+                x0 = last_x
+                warm = True
             else:
                 x0 = np.zeros((nb, 1, 1, 1, 1), np.float32)  # dummy slot
             om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
@@ -474,6 +487,7 @@ def specint_pprts(
             # device-side; ONE host sync at the end of this spectral call
             # checks every chunk (reference abort-on-incomplete default)
             solver._pending_convergence[cache_key] = (niter_b, res_b, tol_b)
+            last_x = ediff_b  # cross-band seed for the next cold chunk
             from tenstream_tpu.pprts.solver import Solution
 
             # Warm-start cache: only ediff (the x0 initial guess) and
