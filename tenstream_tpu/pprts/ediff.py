@@ -339,15 +339,17 @@ def solve_bicgstab(
         return jnp.vdot(u.ravel(), v.ravel())
 
     def cond(state):
-        (it, x, r, rhat, p, v, rho, alpha, omega, best_res, stall) = state
-        res = jnp.linalg.norm(r.ravel())
+        # the residual norm is CARRIED (computed once per iteration in
+        # the body) — recomputing it here would cost an extra full pass
+        # over the 0.3 GB/band residual vector every iteration
+        (it, x, r, res, rhat, p, v, rho, alpha, omega, best_res, stall) = state
         return jnp.logical_and(
             it < maxiter,
             jnp.logical_and(res > tol, stall < stall_limit),
         )
 
     def body(state):
-        (it, x, r, rhat, p, v, rho, alpha, omega, best_res, stall) = state
+        (it, x, r, _res, rhat, p, v, rho, alpha, omega, best_res, stall) = state
 
         # plateau restart: BiCGStab can stall when rhat (= r0) loses its
         # component along the remaining error (measured: a thermal
@@ -397,17 +399,17 @@ def solve_bicgstab(
         best_res = jnp.where(improved, res_new, best_res)
         stall = jnp.where(improved & ok, 0, stall + 1)
 
-        return (it + 1, x_new, r_new, rhat, p, v, rho_new, alpha,
+        return (it + 1, x_new, r_new, res_new, rhat, p, v, rho_new, alpha,
                 omega_new, best_res, stall)
 
     one = jnp.asarray(1.0, dtype)
     state = (
-        jnp.asarray(0), x, r, rhat, jnp.zeros_like(b), jnp.zeros_like(b),
+        jnp.asarray(0), x, r, res0, rhat, jnp.zeros_like(b), jnp.zeros_like(b),
         one, one, one, res0, jnp.asarray(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    it, x, r = state[0], state[1], state[2]
-    return x, it, jnp.linalg.norm(r.ravel())
+    it, x, res = state[0], state[1], state[3]
+    return x, it, res
 
 
 def _safe(v, eps):
