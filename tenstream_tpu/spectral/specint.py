@@ -412,15 +412,16 @@ def specint_pprts(
             solver._spectral_cache = {}
             solver._spectral_trackers = {}
         adaptive = time is not None and max_solution_err > 0 and max_solution_time > 0
-        # cross-band seeding (reference initial-guess-from-last-uid,
-        # `src/pprts.F90:2536-2558`, where sequential uids ARE the
-        # spectral bands): a cold chunk starts from the PREVIOUS chunk's
-        # converged states — adjacent g-points have similar transport,
-        # so this replaces O(100)-iteration zero-start solves with
-        # O(10)-iteration refinements exactly where the per-band state
-        # cache is disabled (the large-grid regime).  Pure initial
-        # guess: the residual tolerance gates are unchanged.
-        band_seed = solver.options.get_bool("specint_band_seed", True)
+        # cross-band seeding (reference initial-guess-from-last-uid
+        # analogue, `src/pprts.F90:2536-2558`): a cold chunk starts from
+        # the PREVIOUS chunk's converged states.  MEASURED NET-NEGATIVE
+        # on the BASELINE 256^2 scene (167 vs 177 cols/s): the adjacent
+        # band's state seeds BiCGStab's shadow residual rhat = r0 with a
+        # direction that fits the WRONG operator, degrading the Krylov
+        # sequence more than the smaller initial residual helps.  OFF by
+        # default; kept as an option for Richardson-type solvers where
+        # an initial guess cannot mislead.
+        band_seed = solver.options.get_bool("specint_band_seed", False)
         last_x = None
         for lo in range(g_lo, g_hi, band_chunk):
             hi = min(lo + band_chunk, g_hi)
