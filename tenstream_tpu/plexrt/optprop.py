@@ -123,7 +123,7 @@ def default_axes() -> WedgeAxes:
 
 def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int,
                 scheme: str = "5_8", chunk: int = 2048, verbose: bool = False,
-                apex=None):
+                apex=None, max_iter: int = 3000):
     """Vectorized tracing over the whole entry grid (vmapped).
 
     Entries are processed in fixed-size chunks: an unchunked vmap over a
@@ -145,14 +145,14 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
         fn = jax.jit(jax.vmap(
             lambda k, t, w, a, gg, ph, th: run_wedge_boxmc(
                 k, src, True, t, w, gg, a, ph, th, n_photons=n_photons,
-                scheme=scheme, apex=apex,
+                scheme=scheme, apex=apex, max_iter=max_iter,
             )
         ))
     else:
         fn = jax.jit(jax.vmap(
             lambda k, t, w, a, gg: run_wedge_boxmc(
                 k, src, False, t, w, gg, a, n_photons=n_photons, scheme=scheme,
-                apex=apex,
+                apex=apex, max_iter=max_iter,
             )
         ))
 
