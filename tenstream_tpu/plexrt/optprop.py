@@ -103,6 +103,30 @@ def test_axes() -> WedgeAxes:
     )
 
 
+def production_axes() -> tuple:
+    """Axes of the COMMITTED production-intermediate wedge table
+    (data/luts/WEDGE_LUT_5_8_9be52d897f4748f4.npz, generated on-chip in
+    round 3 at 4000 photons/entry, max_iter 500 with leftover
+    renormalization): tau12 x w07 x aspect8 x g3 x phi9 x theta6 direct,
+    g4 diffuse — an order of magnitude denser than the round-2 test
+    table; `load_or_create_wedge_lut(*production_axes(),
+    n_photons=4000)` loads it from cache.  Full reference density
+    (`default_axes`) is a ~30-minute on-chip job with the committed
+    chunk=256 / max_iter=500 knobs (see ROUND3_NOTES.md)."""
+    daxes = WedgeAxes(
+        tau=np.array([1e-10, 1e-2, 0.05, 0.15, 0.4, 0.8, 1.5, 3.0,
+                      6.0, 12.0, 30.0, 100.0], np.float32),
+        w0=np.array([0.0, 0.35, 0.6, 0.8, 0.9, 0.95, 0.99999], np.float32),
+        aspect=np.array([0.15, 0.3, 0.5, 0.75, 1.0, 1.5, 2.5, 5.0], np.float32),
+        g=np.array([0.0, 0.45, 0.85], np.float32),
+        phi=np.linspace(0.0, 360.0, 9).astype(np.float32),
+        theta=np.array([0.0, 20.0, 40.0, 55.0, 67.5, 80.0], np.float32),
+    )
+    faxes = WedgeAxes(daxes.tau, daxes.w0, daxes.aspect,
+                      np.array([0.0, 0.25, 0.5, 0.85], np.float32))
+    return daxes, faxes
+
+
 def default_axes() -> WedgeAxes:
     """Production-grade wedge parameter space (reference wedge LUT
     presets, `src/optprop_parameters.F90` LUT_WEDGE blocks, at the same
