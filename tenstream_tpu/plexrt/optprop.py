@@ -147,7 +147,7 @@ def default_axes() -> WedgeAxes:
 
 def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int,
                 scheme: str = "5_8", chunk: int = 2048, verbose: bool = False,
-                apex=None, max_iter: int = 3000):
+                apex=None, max_iter: int = 3000, ckpt_path=None):
     """Vectorized tracing over the whole entry grid (vmapped).
 
     Entries are processed in fixed-size chunks: an unchunked vmap over a
@@ -184,8 +184,29 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
     # small (test/mockup) grids fit one chunk — don't pad them up to the
     # full chunk size (up to ~8x wasted tracing on cold cache builds)
     chunk = min(chunk, n)
+    # per-chunk checkpointing: production direct grids are ~300k entries
+    # per source and a watchdog/preemption kill would otherwise lose the
+    # whole source (round 3 lost two ~90%-complete runs this way)
+    done_lo = 0
     Ts, Ss = [], []
-    for lo in range(0, n, chunk):
+    if ckpt_path is not None and os.path.exists(ckpt_path):
+        z = np.load(ckpt_path)
+        done_lo = int(z["done_lo"])
+        if done_lo > 0:
+            Ts, Ss = [z["T"]], [z["S"]]
+        if verbose:
+            print(f"  wedge trace src {src}: resume at {done_lo}/{n}", flush=True)
+
+    def _save_ckpt(hi):
+        if ckpt_path is None:
+            return
+        # np.savez appends .npz to names that lack it — keep the suffix
+        tmp = ckpt_path[:-len(".npz")] + ".tmp.npz"
+        np.savez(tmp, T=np.concatenate(Ts, axis=0), S=np.concatenate(Ss, axis=0),
+                 done_lo=hi)
+        os.replace(tmp, ckpt_path)
+
+    for ic, lo in enumerate(range(done_lo, n, chunk)):
         hi = min(lo + chunk, n)
         nc = hi - lo
         idx = np.arange(lo, hi)
@@ -196,11 +217,15 @@ def _trace_grid(axes: WedgeAxes, src: int, ldir: bool, n_photons: int, seed: int
         T, S = fn(keys, *args)
         Ts.append(np.asarray(T[:nc]))
         Ss.append(np.asarray(S[:nc]))
-        if verbose and (lo // chunk) % 16 == 0:
+        if ic % 64 == 63:
+            _save_ckpt(hi)
+        if verbose and ic % 16 == 0:
             print(f"  wedge trace src {src} {'dir' if ldir else 'diff'}: "
                   f"{hi}/{n}", flush=True)
     T = np.concatenate(Ts, axis=0)
     S = np.concatenate(Ss, axis=0)
+    if ckpt_path is not None:
+        _save_ckpt(n)
     shp = tuple(len(g) for g in grids)
     return T.reshape(shp + (ndir,)), S.reshape(shp + (NDIFF,))
 
@@ -267,14 +292,20 @@ def _sanitize_dir_tables(daxes: WedgeAxes, d2d: np.ndarray, d2f: np.ndarray,
 def create_wedge_lut(
     daxes: WedgeAxes, faxes: WedgeAxes, n_photons: int = 5000,
     seed: int = 0, verbose: bool = False, scheme: str = "5_8",
-    apex=None,
+    apex=None, chunk: int = 2048, max_iter: int = 3000,
+    ckpt_dir=None,
 ) -> WedgeLUT:
     """apex=(cx, cy) traces a SHAPE-EXACT table for the general
     triangle A=(0,0) B=(1,0) C=(cx, cy) instead of the canonical right
     triangle — used to quantify (and, per mesh, eliminate) the
     canonical-triangle approximation (`tools/wedge_shape_error.py`).
     The isoceles mirror symmetrization only applies to the canonical
-    shape."""
+    shape.
+
+    Production-density runs on the chip use chunk=256 / max_iter=500
+    (shorter kernels keep the TPU worker watchdog happy; leftover
+    renormalization in the tracer absorbs the iteration cap) and a
+    ckpt_dir so interrupted runs resume per chunk."""
     cfg = _SCHEME_DIR[scheme]
     nsrc, ndir = len(cfg["srcs"]), cfg["ndir"]
     nd = tuple(len(a) for a in (daxes.tau, daxes.w0, daxes.aspect, daxes.g,
@@ -283,19 +314,28 @@ def create_wedge_lut(
     d2d = np.zeros(nd + (nsrc, ndir), np.float32)
     d2f = np.zeros(nd + (nsrc, NDIFF), np.float32)
     f2f = np.zeros(nf + (NDIFF, NDIFF), np.float32)
+    if int(np.prod(nd[:6])) < 50_000:
+        ckpt_dir = None  # test/mockup grids regenerate in seconds
+    if ckpt_dir is not None:
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _ckpt(name):
+        return None if ckpt_dir is None else os.path.join(ckpt_dir, name + ".npz")
 
     for i, src in enumerate(cfg["srcs"]):
         if verbose:
             print(f"wedge LUT dir src {src}/{nsrc}", flush=True)
         T, S = _trace_grid(daxes, src, True, n_photons, seed + src, scheme,
-                           apex=apex)
+                           apex=apex, chunk=chunk, max_iter=max_iter,
+                           ckpt_path=_ckpt(f"dir_{src}"))
         d2d[..., i, :] = T
         d2f[..., i, :] = S
     for src in range(NDIFF):
         if verbose:
             print(f"wedge LUT diff src {src}/{NDIFF}", flush=True)
         _, S = _trace_grid(faxes, src, False, n_photons, seed + 100 + src,
-                           scheme, apex=apex)
+                           scheme, apex=apex, chunk=chunk, max_iter=max_iter,
+                           ckpt_path=_ckpt(f"diff_{src}"))
         f2f[..., src, :] = S
 
     _sanitize_dir_tables(daxes, d2d, d2f, scheme, apex=apex)
@@ -325,10 +365,19 @@ def create_wedge_lut(
 def load_or_create_wedge_lut(
     daxes: Optional[WedgeAxes] = None, faxes: Optional[WedgeAxes] = None,
     n_photons: int = 5000, basename: Optional[str] = None, verbose: bool = False,
-    scheme: str = "5_8", apex=None,
+    scheme: str = "5_8", apex=None, chunk: Optional[int] = None,
+    max_iter: Optional[int] = None,
 ) -> WedgeLUT:
+    """chunk/max_iter default from env WEDGE_CHUNK / WEDGE_MAX_ITER so
+    production chip jobs can shorten the tracing kernels (watchdog) —
+    the cache key deliberately excludes them (same physics up to the
+    documented leftover renormalization)."""
     daxes = daxes or test_axes()
     faxes = faxes or WedgeAxes(daxes.tau, daxes.w0, daxes.aspect, daxes.g)
+    if chunk is None:
+        chunk = int(os.environ.get("WEDGE_CHUNK", "2048"))
+    if max_iter is None:
+        max_iter = int(os.environ.get("WEDGE_MAX_ITER", "3000"))
     root = basename or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "data", "luts",
@@ -343,9 +392,10 @@ def load_or_create_wedge_lut(
         z = np.load(path)
         return WedgeLUT(daxes, faxes, z["dir2dir"], z["dir2diff"], z["diff2diff"],
                         scheme, apex_t)
-    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose, scheme=scheme,
-                           apex=apex)
     os.makedirs(root, exist_ok=True)
+    lut = create_wedge_lut(daxes, faxes, n_photons, verbose=verbose, scheme=scheme,
+                           apex=apex, chunk=chunk, max_iter=max_iter,
+                           ckpt_dir=os.path.join(root, f"ckpt_WEDGE_{scheme}_{key}"))
     np.savez_compressed(path, dir2dir=lut.dir2dir, dir2diff=lut.dir2diff,
                         diff2diff=lut.diff2diff)
     return lut

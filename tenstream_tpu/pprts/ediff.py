@@ -49,6 +49,27 @@ def _pick_tx(nx: int) -> int:
     return 1
 
 
+def _make_pc(scheme, coeff, albedo2d, precond):
+    """Preconditioner closure from the `diff_precond` option value.
+
+    True/"line" — vertical-line solve (round-1 default);
+    "two_level"  — vertical line + spectral coarse solve
+                   (`precond.make_two_level_pc`, round-4: kills the
+                   horizontally-smooth error modes that cost 600-1291
+                   iterations at 256^2 with the line PC alone);
+    False/"none" — identity.
+    """
+    if precond in (True, "line"):
+        if scheme.difftop.dof != 2:
+            return lambda r: r
+        return lambda r: vertical_line_solve(scheme, coeff, r, albedo2d)
+    if precond == "two_level":
+        from tenstream_tpu.pprts.precond import make_two_level_pc
+
+        return make_two_level_pc(scheme, coeff, albedo2d)
+    return lambda r: r
+
+
 def _make_apply(scheme, coeff, albedo2d, use_pallas: bool, shape):
     """The diffuse transport operator S(x), either the XLA
     gather->einsum->scatter path or the fused Pallas kernel
@@ -202,7 +223,7 @@ def solve_richardson(
     (where "relative to the stalled residual" would be meaningless).
     """
     x = jnp.zeros_like(b) if x0 is None else x0
-    use_line = precond and scheme.difftop.dof == 2
+    M = _make_pc(scheme, coeff, albedo2d, precond)
     S_apply = _make_apply(scheme, coeff, albedo2d, use_pallas, b.shape)
 
     # NOTE deviation from the reference bounds [1, 1.25]
@@ -224,7 +245,7 @@ def solve_richardson(
         it, x, res, res0, res_prev2, omega, omega_dir, omega_step, log_rate_prev = state
         r = b + S_apply(x) - x
         res_new = jnp.linalg.norm(r.ravel())
-        z = vertical_line_solve(scheme, coeff, r, albedo2d) if use_line else r
+        z = M(r)
         x_new = x + omega * z
         res0_new = jnp.where(it == 0, jnp.maximum(res_new, 1e-30), res0)
 
@@ -308,10 +329,7 @@ def solve_bicgstab(
     def A(x):
         return x - S_apply(x)
 
-    if precond and scheme.difftop.dof == 2:
-        M = lambda r: vertical_line_solve(scheme, coeff, r, albedo2d)
-    else:
-        M = lambda r: r
+    M = _make_pc(scheme, coeff, albedo2d, precond)
 
     dtype = b.dtype
     eps = jnp.asarray(jnp.finfo(dtype).tiny * 1e4, dtype)

@@ -1,0 +1,256 @@
+"""Two-level spectral preconditioner for the diffuse solve.
+
+Motivation (round-3 profile): the vertical-line preconditioner
+(`ediff.vertical_line_solve`) captures per-column vertical transport but
+ignores ALL horizontal coupling, so horizontally-smooth error components
+decay only by physical side-stream diffusion — one cell per iteration.
+Hard solar chunks at 256^2 burned 600-1291 BiCGStab iterations this way
+(`docs/BENCH_256_r3.log`).  The reference leans on global ILU/SOR
+factorizations (`setup_ksp`, `src/pprts.F90:4311-4437`), which have no
+cheap TPU analogue.
+
+TPU-first design — exploit the PERIODIC horizontal boundaries (the
+reference's DMDA is x/y-periodic, `src/pprts.F90:838-846`): with
+horizontally homogeneous (layer-mean) coefficients the diffuse operator
+(I - S) is translation-invariant in (x, y), so a 2-D FFT block-
+diagonalizes it into independent (ndiff x (Nz+1)) block-tridiagonal
+systems — one per horizontal Fourier mode — with dense complex
+(ndiff x ndiff) blocks.  Those are factorized ONCE per band solve
+(block-Thomas over z, batched over modes) and each application is two
+z-scans of batched 10x10 matvecs.
+
+The full preconditioner is additive on complementary subspaces:
+
+    M(r) = L(r - P r)  +  Q C^-1 R r
+
+where R/Q are mean-pool / piecewise-constant-prolong over cf x cf
+horizontal blocks (P = Q R is an orthogonal projection), C is the
+Galerkin coarse restriction of the homogeneous operator (fine shifts
+become the pooled phase (1-1/cf) + e^{i theta}/cf), and L is the
+vertical-line solve on the high-pass residual.  The coarse solve kills
+the smooth modes GLOBALLY in one application; L handles the local,
+column-resolved remainder.  With cf=1 and truly homogeneous
+coefficients, M is the exact inverse (tested).
+
+Everything is linear and fixed per solve, so right-preconditioned
+BiCGStab semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tenstream_tpu.pprts.operators import OrbitCoeff
+from tenstream_tpu.streams import StreamScheme
+
+
+class CoarseFactors(NamedTuple):
+    """Precomputed block-Thomas factorization of the per-mode coarse
+    systems.  Shapes: (Nz+1, nmodes, ndiff, ndiff) complex."""
+
+    C: jnp.ndarray  # C_l = Lo_l @ F_{l-1}   (forward elimination)
+    F: jnp.ndarray  # F_l = W_l^-1            (pivot inverses)
+    E: jnp.ndarray  # E_l = F_l @ Up_l        (back substitution)
+
+
+def auto_coarse_factor(nx: int, ny: int, target: int = 32) -> int:
+    """Largest power-of-two pooling factor that keeps the coarse grid at
+    >= target in the larger dimension (and divides both)."""
+    cf = 1
+    while (
+        nx % (2 * cf) == 0
+        and ny % (2 * cf) == 0
+        and max(nx // (2 * cf), ny // (2 * cf)) >= target
+    ):
+        cf *= 2
+    return cf
+
+
+def _mean_coeff(coeff) -> jnp.ndarray:
+    """Layer-mean (ndiff, ndiff, Nz) of the diffuse coefficient field."""
+    if isinstance(coeff, OrbitCoeff):
+        m = coeff.orb.astype(jnp.float32).mean(axis=(-2, -1))  # (norb, Nz)
+        nf = coeff.idx.shape[0]
+        e = jnp.take(m, jnp.asarray(coeff.idx.ravel(), jnp.int32), axis=0)
+        return e.reshape(nf, nf, m.shape[-1])
+    return coeff.astype(jnp.float32).mean(axis=(-2, -1))
+
+
+def _phase_tables(scheme: StreamScheme, ncx: int, ncy: int, cf: int):
+    """Static per-(src, dst, mode) phase factors and the z-offset masks.
+
+    Galerkin coarse phase for a fine shift of +-1 cell under cf-pooling:
+    phi = (1 - 1/cf) + e^{+-i theta} / cf (exact R A P restriction to
+    block-constant vectors; reduces to the pure fine phase at cf=1).
+    """
+    axis = scheme.diff_axis()
+    inward = scheme.diff_inward()
+    nf = scheme.ndiff
+
+    thx = 2.0 * np.pi * np.arange(ncx) / ncx
+    thy = 2.0 * np.pi * np.arange(ncy) / ncy
+    w = 1.0 / cf
+    phx = (1.0 - w) + w * np.exp(1j * thx)  # fine shift +1 in x
+    phy = (1.0 - w) + w * np.exp(1j * thy)
+
+    G = np.ones((nf, ncx, ncy), np.complex64)  # gather phase per src
+    P = np.ones((nf, ncx, ncy), np.complex64)  # scatter phase per dst
+    for d in range(nf):
+        if axis[d] == 1 and not inward[d]:
+            G[d] = phx[:, None]
+        elif axis[d] == 2 and not inward[d]:
+            G[d] = phy[None, :]
+        if axis[d] == 1 and inward[d]:
+            P[d] = np.conj(phx)[:, None]
+        elif axis[d] == 2 and inward[d]:
+            P[d] = np.conj(phy)[None, :]
+    # Phi[s, d, mode] = G[s] * P[d], flattened modes
+    Phi = (G[:, None] * P[None, :]).reshape(nf, nf, ncx * ncy)
+
+    # z-level offsets: source read at level k+offs, dst written at level
+    # k+offd (see operators.gather_diff_src / scatter_diff_dst)
+    offs = (axis == 0) & (~inward)  # up dofs source from face k+1
+    offd = (axis == 0) & inward  # down dofs scatter to face k+1
+    return Phi, offs, offd
+
+
+def build_coarse_factors(
+    scheme: StreamScheme,
+    coeff,
+    albedo2d: jnp.ndarray,
+    cf: int,
+    ncx: int,
+    ncy: int,
+) -> CoarseFactors:
+    """Assemble and factorize the per-mode coarse block-tridiagonal
+    systems (I - S_hom) from the layer-mean coefficients."""
+    nf = scheme.ndiff
+    cbar = _mean_coeff(coeff)  # (nf, nf, Nz) f32, [src, dst]
+    nz = cbar.shape[-1]
+    L1 = nz + 1
+    M = ncx * ncy
+
+    Phi, offs, offd = _phase_tables(scheme, ncx, ncy, cf)
+    Phi = jnp.asarray(Phi)  # (nf_s, nf_d, M)
+
+    # T[k, m, d, s] = cbar[s, d, k] * Phi[s, d, m]
+    T = cbar[:, :, :, None] * Phi[:, :, None, :]  # (s, d, k, m) c64
+    T = jnp.transpose(T, (2, 3, 1, 0))  # (k, m, d, s)
+
+    m00 = jnp.asarray((~offd)[:, None] & (~offs)[None, :])  # (d, s)
+    m11 = jnp.asarray(offd[:, None] & offs[None, :])
+    m01 = jnp.asarray(offd[:, None] & (~offs)[None, :])  # sub-diag (X_{l-1})
+    m10 = jnp.asarray((~offd)[:, None] & offs[None, :])  # super-diag
+
+    zero = jnp.zeros((1, M, nf, nf), T.dtype)
+    eye = jnp.broadcast_to(jnp.eye(nf, dtype=T.dtype), (L1, M, nf, nf))
+    D = eye - jnp.concatenate([jnp.where(m00, T, 0), zero], axis=0)
+    D = D - jnp.concatenate([zero, jnp.where(m11, T, 0)], axis=0)
+    Lo = jnp.concatenate([zero, jnp.where(m01, T, 0)], axis=0) * -1.0
+    Up = jnp.concatenate([jnp.where(m10, T, 0), zero], axis=0) * -1.0
+
+    # surface albedo closure: Eup_sfc -= albedo * w_up * Edn_sfc (mode-
+    # independent, mean albedo)
+    amean = jnp.mean(albedo2d).astype(jnp.float32)
+    inward = scheme.diff_inward()
+    wtop = scheme.difftop_weights()
+    alb = np.zeros((nf, nf), np.float32)
+    for d in range(scheme.difftop.dof):
+        if not inward[d]:
+            for s in range(scheme.difftop.dof):
+                if inward[s]:
+                    alb[d, s] = float(wtop[d])
+    D = D.at[-1].add(-amean * jnp.asarray(alb, D.dtype))
+
+    # block-Thomas factorization over z (batched complex 10x10 inverses)
+    F0 = jnp.linalg.inv(D[0])
+
+    def step(Fprev, inp):
+        D_l, Lo_l, Up_prev = inp
+        C_l = Lo_l @ Fprev
+        F_l = jnp.linalg.inv(D_l - C_l @ Up_prev)
+        return F_l, (F_l, C_l)
+
+    _, (Fs, Cs) = jax.lax.scan(step, F0, (D[1:], Lo[1:], Up[:-1]))
+    F = jnp.concatenate([F0[None], Fs], axis=0)
+    C = jnp.concatenate([jnp.zeros_like(F0)[None], Cs], axis=0)
+    E = jnp.concatenate([F[:-1] @ Up[:-1], jnp.zeros_like(F0)[None]], axis=0)
+    return CoarseFactors(C, F, E)
+
+
+def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
+    """Solve the homogeneous coarse system: FFT2 -> per-mode forward/
+    backward block substitution -> iFFT2.  rc: (ndiff, Nz+1, ncx, ncy)."""
+    nf, L1, ncx, ncy = rc.shape
+    rh = jnp.fft.fft2(rc.astype(jnp.complex64), axes=(-2, -1))
+    rh = jnp.transpose(rh.reshape(nf, L1, ncx * ncy), (1, 2, 0))  # (l, m, d)
+
+    def fwd(yprev, inp):
+        C_l, r_l = inp
+        y = r_l - jnp.einsum("mds,ms->md", C_l, yprev)
+        return y, y
+
+    y0 = rh[0]
+    _, ys = jax.lax.scan(fwd, y0, (factors.C[1:], rh[1:]))
+    y = jnp.concatenate([y0[None], ys], axis=0)
+
+    xL = jnp.einsum("mds,ms->md", factors.F[-1], y[-1])
+
+    def bwd(xnext, inp):
+        F_l, E_l, y_l = inp
+        x = jnp.einsum("mds,ms->md", F_l, y_l) - jnp.einsum(
+            "mds,ms->md", E_l, xnext
+        )
+        return x, x
+
+    _, xs = jax.lax.scan(
+        bwd, xL, (factors.F[:-1], factors.E[:-1], y[:-1]), reverse=True
+    )
+    x = jnp.concatenate([xs, xL[None]], axis=0)  # (l, m, d)
+    xc = jnp.transpose(x, (2, 0, 1)).reshape(nf, L1, ncx, ncy)
+    return jnp.real(jnp.fft.ifft2(xc, axes=(-2, -1))).astype(rc.dtype)
+
+
+def pool2d(r: jnp.ndarray, cf: int) -> jnp.ndarray:
+    """Mean-pool the trailing (x, y) dims by cf."""
+    if cf == 1:
+        return r
+    *lead, nx, ny = r.shape
+    return r.reshape(*lead, nx // cf, cf, ny // cf, cf).mean(axis=(-3, -1))
+
+
+def unpool2d(rc: jnp.ndarray, cf: int) -> jnp.ndarray:
+    """Piecewise-constant prolongation (adjoint of mean-pool up to 1/cf^2)."""
+    if cf == 1:
+        return rc
+    return jnp.repeat(jnp.repeat(rc, cf, axis=-2), cf, axis=-1)
+
+
+def make_two_level_pc(scheme: StreamScheme, coeff, albedo2d, cf: int = 0):
+    """Returns M(r): the additive two-level preconditioner closure.
+
+    cf = 0 picks `auto_coarse_factor` from the grid; the factorization
+    happens at closure-build time (once per jitted solve), applications
+    are two z-scans + FFTs + one vertical-line solve.
+    """
+    from tenstream_tpu.pprts.ediff import vertical_line_solve
+
+    shp = coeff.shape  # (nf, nf, Nz, Nx, Ny)
+    nx, ny = shp[-2], shp[-1]
+    if cf <= 0:
+        cf = auto_coarse_factor(nx, ny)
+    ncx, ncy = nx // cf, ny // cf
+    factors = build_coarse_factors(scheme, coeff, albedo2d, cf, ncx, ncy)
+
+    def M(r):
+        rc = pool2d(r, cf)
+        r_low = unpool2d(rc, cf)
+        z_hi = vertical_line_solve(scheme, coeff, r - r_low, albedo2d)
+        z_lo = unpool2d(coarse_solve(factors, rc), cf)
+        return z_hi + z_lo
+
+    return M

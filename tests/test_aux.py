@@ -121,12 +121,16 @@ def test_accept_incomplete_solve_strict_raises(tmp_path):
 
     strict = make()  # strict is the DEFAULT (round-3 change)
     strict.options.set("ksp_max_it", 1)
+    # unpreconditioned: the two-level PC converges this small scene in
+    # ~1 iteration, which would defeat the deliberate stall
+    strict.options.set("diff_precond", "none")
     strict.solve(lthermal=False, lsolar=True, edirTOA=1000.0)  # async: no raise yet
     with pytest.raises(RuntimeError, match="did not converge"):
         strict.get_result()
 
     tolerant = make()
     tolerant.options.set("ksp_max_it", 1)
+    tolerant.options.set("diff_precond", "none")
     tolerant.options.set("accept_incomplete_solve", True)
     tolerant.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
     tolerant.get_result()  # no raise

@@ -1,0 +1,132 @@
+"""Two-level spectral preconditioner (`pprts/precond.py`).
+
+The coarse component inverts the layer-mean homogeneous operator
+exactly per horizontal Fourier mode; with cf=1 (coarse == fine) and
+horizontally uniform optical properties, M must therefore be the EXACT
+inverse of (I - S).  On heterogeneous cloud scenes it must (a) keep the
+solution identical to the line-PC solve and (b) cut the BiCGStab
+iteration count (the round-4 verdict target: smooth-mode error modes no
+longer limited to one-cell-per-iteration side-stream diffusion).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def _assembled(opp_small, nx=16, ny=16, nz=10, cloudy=False):
+    from tenstream_tpu.pprts.coeffs import assemble_coeffs
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.sun import suninfo_from_sundir, sundir_from_angles
+
+    ka = np.full((nz, nx, ny), 1e-4, np.float32)
+    ks = np.full((nz, nx, ny), 1e-3, np.float32)
+    g = np.full((nz, nx, ny), 0.3, np.float32)
+    if cloudy:
+        ka[4:7, 4:12, 4:12] = 5e-3
+        ks[4:7, 4:12, 4:12] = 5e-2
+        g[4:7, 4:12, 4:12] = 0.85
+    grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+    sun = suninfo_from_sundir(sundir_from_angles(30.0, 40.0))
+    l1d = np.zeros(nz, bool)
+    coeffs, _ = assemble_coeffs(
+        opp_small.scheme, opp_small, jnp.asarray(ka), jnp.asarray(ks),
+        jnp.asarray(g), grid.dz3d, grid.dx, l1d, sun, need_dir=False,
+    )
+    return opp_small.scheme, coeffs.diff2diff
+
+
+def test_exact_inverse_homogeneous_cf1(opp_small):
+    """cf=1 + uniform optics: M(r) solves (I - S) z = r to fp accuracy."""
+    from tenstream_tpu.pprts.operators import diffuse_scatter
+    from tenstream_tpu.pprts.precond import make_two_level_pc
+
+    scheme, coeff = _assembled(opp_small, nx=8, ny=8, nz=6, cloudy=False)
+    albedo = jnp.full((8, 8), 0.2, jnp.float32)
+    M = make_two_level_pc(scheme, coeff, albedo, cf=1)
+
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal((scheme.ndiff, 7, 8, 8)), jnp.float32)
+    # side dofs carry no level-Nz face; the operator never writes there
+    r = r.at[scheme.difftop.dof:, -1].set(0.0)
+    z = M(r)
+    Az = z - diffuse_scatter(scheme, coeff, z, albedo)
+    np.testing.assert_allclose(np.asarray(Az), np.asarray(r), atol=2e-5)
+
+
+def test_projection_and_linearity(opp_small):
+    """pool/unpool form an orthogonal projection; M is linear."""
+    from tenstream_tpu.pprts.precond import make_two_level_pc, pool2d, unpool2d
+
+    scheme, coeff = _assembled(opp_small, nx=16, ny=16, nz=10, cloudy=True)
+    albedo = jnp.full((16, 16), 0.15, jnp.float32)
+
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal((scheme.ndiff, 11, 16, 16)), jnp.float32)
+    P = lambda v: unpool2d(pool2d(v, 4), 4)
+    np.testing.assert_allclose(np.asarray(P(P(r))), np.asarray(P(r)), atol=1e-6)
+
+    M = make_two_level_pc(scheme, coeff, albedo, cf=4)
+    r2 = jnp.asarray(rng.standard_normal(r.shape), jnp.float32)
+    lhs = np.asarray(M(r + 2.0 * r2))
+    rhs = np.asarray(M(r)) + 2.0 * np.asarray(M(r2))
+    np.testing.assert_allclose(lhs, rhs, atol=5e-5)
+
+
+def test_two_level_cuts_iterations_cloud(opp_small):
+    """On a cloudy scene the two-level PC must converge to the same
+    fluxes with FEWER BiCGStab iterations than the line PC."""
+    from tenstream_tpu.pprts.ediff import solve_bicgstab
+
+    scheme, coeff = _assembled(opp_small, nx=16, ny=16, nz=10, cloudy=True)
+    albedo = jnp.full((16, 16), 0.15, jnp.float32)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(
+        np.abs(rng.standard_normal((scheme.ndiff, 11, 16, 16))), jnp.float32
+    )
+    b = b.at[scheme.difftop.dof:, -1].set(0.0)
+
+    x_l, it_l, res_l = solve_bicgstab(
+        scheme, coeff, b, albedo, rtol=1e-6, atol=1e-10, precond="line")
+    x_t, it_t, res_t = solve_bicgstab(
+        scheme, coeff, b, albedo, rtol=1e-6, atol=1e-10, precond="two_level")
+    assert int(it_t) <= int(it_l)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_l), atol=2e-4)
+
+
+def test_solver_end_to_end_matches_line_pc(opp_small):
+    """Full solver solve (solar+thermal) with diff_precond=two_level
+    reproduces the line-PC fluxes."""
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+
+    def run(pc):
+        nz, nx, ny = 12, 16, 16
+        ka = np.full((nz, nx, ny), 1e-4, np.float32)
+        ks = np.full((nz, nx, ny), 1e-3, np.float32)
+        g = np.zeros((nz, nx, ny), np.float32)
+        ka[5:8, 4:10, 6:12] = 4e-3
+        ks[5:8, 4:10, 6:12] = 4e-2
+        g[5:8, 4:10, 6:12] = 0.85
+        planck = np.broadcast_to(
+            np.linspace(100.0, 130.0, nz + 1)[:, None, None], (nz + 1, nx, ny)
+        ).astype(np.float32)
+        grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+        s = PprtsSolver(grid, opp_small)
+        s.options.set("diff_precond", pc)
+        s.set_optical_properties(0.12, ka, ks, g, planck=planck)
+        s.set_angles(sundir_from_angles(40.0, 55.0))
+        s.solve(lthermal=True, lsolar=True, edirTOA=1000.0, uid=1)
+        sol = s.solutions[1]
+        edir, edn, eup, abso = map(np.asarray, s.get_result(uid=1))
+        return sol, edir, edn, eup, abso
+
+    sol_t, *flx_t = run("two_level")
+    sol_l, *flx_l = run("line")
+    assert float(np.max(np.asarray(sol_t.diff_res))) <= float(
+        np.max(np.asarray(sol_t.diff_tol)))
+    for a, b in zip(flx_t, flx_l):
+        np.testing.assert_allclose(a, b, atol=0.2)
