@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tenstream_tpu.core.types import ireals
 
@@ -201,6 +202,80 @@ def interp_simplex_cf(
     )
     idxs = [base_idx] + [base_idx + cum[j] for j in range(k)]
     return _accumulate_gathers(flat_t, idxs, weights, C, loop_gathers)
+
+
+def _onehot_pair(f: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
+    """(B, n) interpolation matrix with 2 nonzeros per row: (1-w) at
+    floor(f), w at floor(f)+1 (clipped to the last interval)."""
+    i = jnp.clip(jnp.floor(f), 0, n - 2).astype(jnp.int32)
+    w = (jnp.asarray(f, ireals) - i.astype(ireals)).astype(dtype)
+    ar = jnp.arange(n, dtype=jnp.int32)
+    lo = (i[..., None] == ar).astype(dtype)
+    hi = (i[..., None] + 1 == ar).astype(dtype)
+    return lo * (1.0 - w)[..., None] + hi * w[..., None]
+
+
+def interp_4d_layered_onehot_cf(
+    table: jnp.ndarray,
+    f0: jnp.ndarray,
+    f1: jnp.ndarray,
+    f2_layer: jnp.ndarray,
+    f3: jnp.ndarray,
+) -> jnp.ndarray:
+    """4-D multilinear interpolation as per-layer one-hot MXU matmuls.
+
+    Bit-compatible with `interp_multilinear_cf` (same multilinear math,
+    different summation order) for the pprts assembly case where axis 2
+    (aspect = dz/dx) is CONSTANT PER LAYER.  Round-3 profile: the
+    5-corner gather form runs at 6% of HBM peak at 256^2 — every cell
+    does latency-bound random row reads from an 8.2 MB table
+    (`docs/PROFILE_r3.md`).  The TPU-idiomatic gather is a one-hot
+    matmul: per z-layer, blend the aspect axis (scalar weight), then
+    contract a (cells, n_tau*n_w0) 4-nonzero bilinear weight matrix
+    against the (n_tau*n_w0, n_g*C) layer table on the MXU, then blend
+    the g axis per cell on the VPU.  The weight matrix is built by an
+    iota-compare (no gather anywhere), and a `lax.scan` over z keeps one
+    layer's weights live at a time.
+
+    Args:
+      table: (n0, n1, n2, n3) + C  (tau, w0, aspect, g, channels...).
+      f0, f1, f3: fractional indices, shape (nz, nx, ny).
+      f2_layer: per-layer fractional aspect index, shape (nz,).
+
+    Returns: C... + (nz, nx, ny), channels-first like the gather paths.
+    """
+    n0, n1, n2, n3 = table.shape[:4]
+    C = table.shape[4:]
+    nz, nx, ny = jnp.broadcast_shapes(f0.shape, f1.shape, f3.shape)
+    Bc = nx * ny
+    nC = int(np.prod(C)) if C else 1
+
+    # per-layer aspect blend: (nz, n0*n1, n3*nC)
+    i2 = jnp.clip(jnp.floor(f2_layer), 0, n2 - 2).astype(jnp.int32)
+    w2 = (jnp.asarray(f2_layer, ireals) - i2.astype(ireals)).astype(table.dtype)
+    tl = jnp.moveaxis(jnp.take(table, i2, axis=2), 2, 0)
+    th = jnp.moveaxis(jnp.take(table, i2 + 1, axis=2), 2, 0)
+    w2b = w2.reshape((nz,) + (1,) * (tl.ndim - 1))
+    tbl = (tl * (1.0 - w2b) + th * w2b).reshape(nz, n0 * n1, n3 * nC)
+
+    fB = lambda f: jnp.broadcast_to(f, (nz, nx, ny)).reshape(nz, Bc)
+
+    def layer(_, inp):
+        t_l, ft, fw, fg = inp
+        oh0 = _onehot_pair(ft, n0, table.dtype)  # (B, n0)
+        oh1 = _onehot_pair(fw, n1, table.dtype)  # (B, n1)
+        W = (oh0[:, :, None] * oh1[:, None, :]).reshape(Bc, n0 * n1)
+        out = jax.lax.dot(W, t_l, precision=jax.lax.Precision.HIGHEST)
+        oh3 = _onehot_pair(fg, n3, table.dtype)  # (B, n3)
+        out = jnp.einsum(
+            "bg,bgc->bc", oh3, out.reshape(Bc, n3, nC),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(layer, None, (tbl, fB(f0), fB(f1), fB(f3)))
+    out = jnp.moveaxis(outs, -1, 0).reshape(C + (nz, nx, ny))
+    return out.astype(ireals)
 
 
 def interp_multilinear(table: jnp.ndarray, fracs: Sequence[jnp.ndarray]) -> jnp.ndarray:

@@ -23,6 +23,7 @@ import numpy as np
 from tenstream_tpu.core.types import ireals
 from tenstream_tpu.ops.interp import (
     fractional_index,
+    interp_4d_layered_onehot_cf,
     interp_multilinear_cf,
     interp_simplex_cf,
 )
@@ -90,21 +91,26 @@ class OptProp:
         scheme: StreamScheme | None = None,
         table_dtype=jnp.float32,
         analytic_dir2dir: bool | None = None,
-        interp_mode: str = "multilinear",
+        interp_mode: str = "onehot",
         loop_gathers: bool = False,
     ):
         self.lut = lut
         self.scheme = scheme or get_scheme(lut.scheme)
         self._table_dtype = table_dtype
+        # "onehot" (default): full multilinear accuracy via per-z-layer
+        # one-hot MXU contractions — no table gather at all (see
+        # `interp_4d_layered_onehot_cf`); requires aspect constant per
+        # layer (frac shape (nz, 1, 1)), otherwise it silently falls
+        # back to the multilinear gather path per call.
         # "simplex" cuts the per-cell gathers from 16 to 5 (reference
         # `interp_vec_simplex_nd`, src/interpolation.F90:292) at the
         # cost of O(h^2) in-cell deviation from multilinear.
         # loop_gathers accumulates the corner gathers with a lax.scan so
         # only one corner temp is live — the large-grid memory knob.
-        if interp_mode not in ("multilinear", "simplex"):
+        if interp_mode not in ("onehot", "multilinear", "simplex"):
             raise ValueError(f"unknown interp_mode {interp_mode!r}")
         base = interp_simplex_cf if interp_mode == "simplex" else interp_multilinear_cf
-        self._interp = partial(base, loop_gathers=loop_gathers)
+        self._interp_gather = partial(base, loop_gathers=loop_gathers)
         self.interp_mode = interp_mode
         self.loop_gathers = loop_gathers
         # exact closed-form dir2dir evaluated at the cell's ACTUAL
@@ -164,6 +170,21 @@ class OptProp:
             self._solver_orbit_idx = None
 
     # ------------------------------------------------------------------
+    def _interp(self, table, fr):
+        """Dispatch one 4-D lookup: one-hot MXU path when aspect is
+        per-layer constant (frac shape (nz, 1, 1) against 3-D tau/w0),
+        else the configured gather path."""
+        ft, fw, fa, fg = fr
+        if (
+            self.interp_mode == "onehot"
+            and jnp.ndim(fa) == 3 and fa.shape[-2:] == (1, 1)
+            and jnp.ndim(ft) == 3 and ft.shape[-2:] != (1, 1)
+        ):
+            return interp_4d_layered_onehot_cf(
+                table, ft, fw, fa.reshape(-1), fg
+            )
+        return self._interp_gather(table, fr)
+
     def _slice_angles(self, table, phi_deg, theta_deg):
         """Bilinear blend of the (phi, theta) axes -> 4-D table."""
         fp = fractional_index(self._phi_grid, jnp.asarray(phi_deg, ireals))

@@ -418,7 +418,13 @@ class PprtsSolver:
                     (scheme.ndiff, grid.nz - (K - 1 if K > 1 else 0) + 1,
                      grid.nx, grid.ny), ireals,
                 )
-            dz3d = grid.dz3d
+            # broadcastable (Nz, 1, 1) layer thickness when dz is 1-D:
+            # keeps aspect = dz/dx PER-LAYER through the collapse math so
+            # the LUT lookup can take the one-hot MXU path (see
+            # `OptProp._interp`); all ops below are broadcast-safe, and
+            # consumers that need the full field get dz_full
+            dz3d = (grid.dz[:, None, None] if grid.dz.ndim == 1
+                    else grid.dz3d)
             collapse_btop = collapse_bbot = None
             if K > 1:
                 from tenstream_tpu.ops.eddington import eddington_coeff_ec
@@ -527,6 +533,7 @@ class PprtsSolver:
 
             edir = None
             nz_r = dz3d.shape[0]
+            dz_full = jnp.broadcast_to(dz3d, (nz_r, grid.nx, grid.ny))
             b = jnp.zeros(
                 (scheme.ndiff, nz_r + 1, grid.nx, grid.ny), ireals
             )
@@ -574,7 +581,7 @@ class PprtsSolver:
             b_th = None
             if lthermal and planck is not None:
                 b_th = thermal_source(
-                    scheme, diff2diff_f32, planck, kabs, dz3d,
+                    scheme, diff2diff_f32, planck, kabs, dz_full,
                     grid.dx, grid.dy, albedo2d, l1d,
                     planck_srfc=planck_srfc if has_planck_srfc else None,
                     collapse_btop=collapse_btop, collapse_bbot=collapse_bbot,
@@ -626,8 +633,8 @@ class PprtsSolver:
 
             abso = calc_flx_div(
                 scheme, coeffs, ediff,
-                dz3d * (grid.dx * grid.dy) if K > 1 else grid.volumes(),
-                l1d, kabs, dz3d,
+                dz_full * (grid.dx * grid.dy) if K > 1 else grid.volumes(),
+                l1d, kabs, dz_full,
                 a11, a12, sun=sun, edir=edir, b_thermal=b_th,
                 cdiv_dir=cdiv_dir,
             )

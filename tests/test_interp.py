@@ -94,3 +94,45 @@ def test_loop_gathers_matches_unrolled(rng):
         a = np.asarray(fn(table, fr))
         b = np.asarray(fn(table, fr, loop_gathers=True))
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_onehot_layered_matches_multilinear(rng):
+    """The one-hot MXU path is the same multilinear math as the corner
+    gathers when aspect is per-layer constant."""
+    from tenstream_tpu.ops.interp import interp_4d_layered_onehot_cf
+
+    n0, n1, n2, n3, C = 9, 7, 6, 4, 5
+    nz, nx, ny = 5, 4, 3
+    table = rng.normal(size=(n0, n1, n2, n3, C)).astype(np.float32)
+    f0 = rng.uniform(0, n0 - 1, (nz, nx, ny)).astype(np.float32)
+    f1 = rng.uniform(0, n1 - 1, (nz, nx, ny)).astype(np.float32)
+    f2l = rng.uniform(0, n2 - 1, (nz,)).astype(np.float32)
+    f3 = rng.uniform(0, n3 - 1, (nz, nx, ny)).astype(np.float32)
+
+    got = np.asarray(interp_4d_layered_onehot_cf(table, f0, f1, f2l, f3))
+    ref = np.asarray(
+        interp_multilinear_cf(
+            table, (f0, f1, np.broadcast_to(f2l[:, None, None], f0.shape), f3)
+        )
+    )
+    assert got.shape == (C, nz, nx, ny)
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_onehot_layered_exact_at_grid_points(rng):
+    from tenstream_tpu.ops.interp import interp_4d_layered_onehot_cf
+
+    n0, n1, n2, n3 = 6, 5, 4, 3
+    table = rng.normal(size=(n0, n1, n2, n3, 2)).astype(np.float32)
+    nz, nx, ny = 4, 3, 2
+    i0 = rng.integers(0, n0, (nz, nx, ny)).astype(np.float32)
+    i1 = rng.integers(0, n1, (nz, nx, ny)).astype(np.float32)
+    i2 = rng.integers(0, n2, (nz,)).astype(np.float32)
+    i3 = rng.integers(0, n3, (nz, nx, ny)).astype(np.float32)
+    got = np.asarray(interp_4d_layered_onehot_cf(table, i0, i1, i2, i3))
+    for z in range(nz):
+        for x in range(nx):
+            for y in range(ny):
+                want = table[int(i0[z, x, y]), int(i1[z, x, y]),
+                             int(i2[z]), int(i3[z, x, y])]
+                np.testing.assert_allclose(got[:, z, x, y], want, atol=1e-6)
