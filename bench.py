@@ -158,12 +158,13 @@ def main():
     from tenstream_tpu.spectral.ecckd import EcckdGasOptics
 
     lut = load_bench_lut()
-    # large grids: simplex interpolation (5 gathers vs 16) + scan-looped
-    # corner accumulation bound the assembly temp memory (the 192^2 OOM)
+    # "onehot" (round-4 default): per-layer one-hot MXU contraction —
+    # full multilinear accuracy, no corner-gather temps at any grid size
+    # (replaces the round-3 simplex + loop_gathers memory diet at 128^2+)
     big = NX * NY >= 128 * 128
-    interp_mode = os.environ.get("BENCH_INTERP") or ("simplex" if big else "multilinear")
+    interp_mode = os.environ.get("BENCH_INTERP") or "onehot"
     lg = os.environ.get("BENCH_LOOP_GATHERS")
-    loop_gathers = bool(int(lg)) if lg else big
+    loop_gathers = bool(int(lg)) if lg else (big and interp_mode != "onehot")
     print(f"# interp_mode={interp_mode} loop_gathers={loop_gathers}", file=sys.stderr)
     opp = OptProp(lut, interp_mode=interp_mode, loop_gathers=loop_gathers)
 
@@ -174,6 +175,8 @@ def main():
     # memory-lean overrides for large single-chip grids
     if os.environ.get("BENCH_DIFF_SOLVER"):
         solver.options.set("diff_solver", os.environ["BENCH_DIFF_SOLVER"])
+    if os.environ.get("BENCH_PRECOND"):
+        solver.options.set("diff_precond", os.environ["BENCH_PRECOND"])
     if os.environ.get("BENCH_PALLAS") is not None and os.environ.get("BENCH_PALLAS") != "":
         solver.options.set("pprts_pallas_diffuse", bool(int(os.environ["BENCH_PALLAS"])))
     if os.environ.get("BENCH_Z_SLAB"):
@@ -221,7 +224,8 @@ def main():
     solver.solutions.clear()
     t0 = time.time()
     res = run()
-    print(f"# cold solve (no warm starts): {time.time()-t0:.2f}s", file=sys.stderr)
+    t_cold = time.time() - t0
+    print(f"# cold solve (no warm starts): {t_cold:.2f}s", file=sys.stderr)
 
     # one untimed warm rep: the warm-start program VARIANT (x0 consumed)
     # compiles on its first use — keep that out of the timed loop
@@ -279,7 +283,7 @@ def main():
         resv = np.atleast_1d(np.asarray(sol.diff_res))
         tolv = np.atleast_1d(np.asarray(sol.diff_tol))
         worst = max(worst, int(niter.max()))
-        if float(resv.max()) > 10.0 * max(float(tolv.max()), 1e-30):
+        if float(resv.max()) > 1.5 * max(float(tolv.max()), 1e-30):
             stalled.append((key, float(resv.max()), float(tolv.max())))
         print(
             f"# chunk {key}: niter min/med/max = {int(niter.min())}/"
@@ -292,7 +296,7 @@ def main():
         "(diverging or stagnating lane) — bench number would be dishonest"
     )
     assert not stalled, (
-        f"diffuse solver stalled above 10x tolerance in chunks {stalled} "
+        f"diffuse solver stalled above 1.5x tolerance in chunks {stalled} "
         "— bench number would be dishonest"
     )
     print(
@@ -300,11 +304,27 @@ def main():
         f"{dt:.2f}s/solve = {cols_per_s:.1f} columns/s",
         file=sys.stderr,
     )
+    # self-describing record (round-3 verdict weak #9): every knob that
+    # defines the number rides in the JSON, not in scattered stderr
     print(json.dumps({
         "metric": "ecckd_lwsw_perturbed_stepping_columns_per_s_per_chip",
         "value": round(NX * NY / dt_p, 2),
         "unit": "columns/s",
         "vs_baseline": 1.0,
+        "config": {
+            "grid": [NX, NY, nlay],
+            "ngpt": [NGPT, NGPT],
+            "band_chunk": CHUNK,
+            "atm_collapse": solver.options.get_int("atm_collapse", 1),
+            "solve_layers": getattr(solver, "nz_solve", nlay),
+            "specint_cache": cache_mode,
+            "interp_mode": interp_mode,
+            "lut_tables": [int(n) for n in lut.diff2diff.shape[:4]],
+            "diff_solver": solver.options.get("diff_solver", "bicgstab"),
+            "diff_precond": solver.options.get("diff_precond", "two_level"),
+            "cold_solve_s": round(float(t_cold), 2),
+            "warm_identical_cols_per_s": round(cols_per_s, 2),
+        },
     }))
 
 

@@ -423,10 +423,62 @@ def specint_pprts(
         # an initial guess cannot mislead.
         band_seed = solver.options.get_bool("specint_band_seed", False)
         last_x = None
-        for lo in range(g_lo, g_hi, band_chunk):
-            hi = min(lo + band_chunk, g_hi)
-            nb = hi - lo
-            cache_key = (uid_tag, lo)
+
+        # Difficulty-grouped band chunks (round-3 verdict item 3):
+        # vmapped lanes share the while-loop trip count, so a
+        # 20-iteration band pays its chunk partner's 200 — measured 36%
+        # SLOWER than chunk=1 at 256^2 in natural band order.  After the
+        # first solve of a uid_tag the bands are reordered by their
+        # measured per-band niter (hard with hard) and the grouping is
+        # FROZEN so chunk cache keys stay stable.  Warm-start states
+        # survive the one-time regroup: a per-band index maps every
+        # g-point to (chunk key, row) of the previous solve, and a
+        # group whose exact key is missing gathers its x0/omega rows
+        # band-by-band.  Reference contrast: strictly sequential band
+        # loop, `rrtmg/rrtmg/pprts_rrtmg.F90:214-268`.
+        # (grouping is disabled under adaptive spectral integration: the
+        # error trackers and skip cache are keyed per chunk, and a
+        # regroup would reset their history every time)
+        group_opt = (band_chunk > 1 and not adaptive
+                     and solver.options.get_bool("specint_band_group", True))
+        if not hasattr(solver, "_band_order"):
+            solver._band_order = {}
+            solver._band_rows = {}
+        order = solver._band_order.get(uid_tag) if group_opt else None
+        band_rows = solver._band_rows.setdefault(uid_tag, {})
+        gids_all = np.arange(g_lo, g_hi)
+        if order is not None:
+            gids_all = np.asarray([g for g in order if g_lo <= g < g_hi])
+        groups = [gids_all[i:i + band_chunk]
+                  for i in range(0, len(gids_all), band_chunk)]
+        group_niters = []  # (gids, device niter) for the regroup decision
+
+        def gather_prev(gids):
+            """Per-band warm-state gather across old chunk boundaries:
+            (x0, om0) stacked from the rows recorded in band_rows, or
+            None if any band lacks a cached state."""
+            xs, oms = [], []
+            for gg in gids:
+                ent = band_rows.get(int(gg))
+                if ent is None:
+                    return None
+                key, row = ent
+                sol = solver.solutions.get(key)
+                if sol is None or sol.ediff is None:
+                    return None
+                e = sol.ediff
+                e = e[row] if not isinstance(e, np.ndarray) else jnp.asarray(e[row])
+                xs.append(e.astype(ireals))
+                oms.append(jnp.asarray(sol.diff_omega)[row])
+            return jnp.stack(xs), jnp.stack(oms)
+
+        for gsel_ids in groups:
+            nb = len(gsel_ids)
+            lo, hi = int(gsel_ids[0]), int(gsel_ids[-1]) + 1
+            natural = bool(np.all(np.diff(gsel_ids) == 1)) if nb > 1 else True
+            gsel = slice(lo, hi) if natural else np.asarray(gsel_ids)
+            cache_key = ((uid_tag, lo) if natural and order is None
+                         else (uid_tag, tuple(int(gg) for gg in gsel_ids)))
             prev = solver.solutions.get(cache_key)
 
             if adaptive and cache_key in solver._spectral_cache:
@@ -442,38 +494,43 @@ def specint_pprts(
                     solver._spectral_skips = getattr(solver, "_spectral_skips", 0) + 1
                     continue
             warm = prev is not None and prev.ediff is not None
+            om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
             if warm:
                 # np.asarray is a no-copy view for host-cached f32 states
                 x0 = (np.asarray(prev.ediff, dtype=ireals)
                       if isinstance(prev.ediff, np.ndarray)
                       else prev.ediff.astype(ireals))
-            elif band_seed and last_x is not None and last_x.shape[0] == nb:
-                x0 = last_x
-                warm = True
             else:
-                x0 = np.zeros((nb, 1, 1, 1, 1), np.float32)  # dummy slot
-            om0 = prev.diff_omega if prev is not None else jnp.ones((nb,), ireals)
+                gathered = gather_prev(gsel_ids) if prev is None else None
+                if gathered is not None:  # regrouped chunk: row-gathered
+                    x0, om0 = gathered
+                    warm = True
+                elif band_seed and last_x is not None and last_x.shape[0] == nb:
+                    x0 = last_x
+                    warm = True
+                else:
+                    x0 = np.zeros((nb, 1, 1, 1, 1), np.float32)  # dummy slot
             vfn = vfns[warm]
 
             if has_planck:
-                planck_b = to3d(sp.planck[lo:hi])
+                planck_b = to3d(jnp.asarray(sp.planck)[gsel])
             else:
                 planck_b = jnp.zeros((nb,) + zeros_planck.shape, ireals)
             if sp.planck_srfc is not None:
-                ps = jnp.asarray(sp.planck_srfc[lo:hi], ireals)
+                ps = jnp.asarray(sp.planck_srfc, ireals)[gsel]
                 psrfc_b = ps if ps.ndim == 3 else ps[..., None, None] * jnp.ones((nx, ny), ireals)
             else:
                 psrfc_b = jnp.zeros((nb, nx, ny), ireals)
-            toa_b = sp.weight[lo:hi] if solar else jnp.zeros((nb,), ireals)
+            toa_b = jnp.asarray(sp.weight)[gsel] if solar else jnp.zeros((nb,), ireals)
 
             if x0.shape[0] != nb:  # trailing partial chunk
                 x0 = x0[:nb]
                 om0 = om0[:nb]
             kabs_b, ksca_b, g_b = batched_fields(
-                sp, "sw" if solar else "lw", gsel=slice(lo, hi)
+                sp, "sw" if solar else "lw", gsel=gsel
             )
             if pb_gpt is not None and has_planck:
-                pb_sl = jnp.asarray(pb_gpt[lo:hi], ireals)
+                pb_sl = jnp.asarray(pb_gpt, ireals)[gsel]
                 if pb_sl.ndim == 1:  # scalar building temperature
                     pb_b = pb_sl[:, None, None, None] * jnp.ones((nz, nx, ny), ireals)
                 else:
@@ -488,6 +545,10 @@ def specint_pprts(
             # device-side; ONE host sync at the end of this spectral call
             # checks every chunk (reference abort-on-incomplete default)
             solver._pending_convergence[cache_key] = (niter_b, res_b, tol_b)
+            for pos, gg in enumerate(gsel_ids):
+                band_rows[int(gg)] = (cache_key, pos)
+            if group_opt and order is None:
+                group_niters.append((gsel_ids, niter_b))
             last_x = ediff_b  # cross-band seed for the next cold chunk
             from tenstream_tpu.pprts.solver import Solution
 
@@ -568,6 +629,26 @@ def specint_pprts(
                     None if c is None else np.asarray(c)
                     for c in (edir_contrib, ediff_contrib, abso_contrib)
                 )
+
+        # freeze the difficulty grouping from the first solve's measured
+        # per-band iteration counts (ONE batched device->host fetch)
+        if group_opt and order is None and group_niters:
+            covered = sum(len(g) for g, _ in group_niters)
+            if covered == len(gids_all):
+                nit = np.asarray(jnp.concatenate(
+                    [jnp.atleast_1d(n).ravel().astype(jnp.float32)
+                     for _, n in group_niters]))
+                gid_cat = np.concatenate([g for g, _ in group_niters])
+                solver._band_order[uid_tag] = gid_cat[np.argsort(
+                    nit, kind="stable")]
+        elif group_opt and order is not None:
+            # the regrouped keys now carry all warm states; drop this
+            # uid_tag's orphaned pre-regroup chunk solutions
+            live = {key for key, _ in band_rows.values()}
+            for k in list(solver.solutions):
+                if (isinstance(k, tuple) and len(k) == 2
+                        and k[0] == uid_tag and k not in live):
+                    del solver.solutions[k]
 
         from tenstream_tpu.pprts.solver import Solution
 

@@ -197,3 +197,40 @@ def test_specint_cache_modes(opp_small):
     for mode, (e1, e2) in results.items():
         np.testing.assert_allclose(e1, ref1, atol=1e-3, err_msg=f"{mode} cold")
         np.testing.assert_allclose(e2, ref2, atol=0.5, err_msg=f"{mode} warm")
+
+
+def test_specint_band_grouping(opp_small):
+    """Difficulty-grouped band chunks: after the first solve the bands
+    are reordered by measured niter and regrouped; fluxes must match the
+    ungrouped natural-order solve on every step, warm starts must
+    survive the regroup (second solve re-converges in few iterations)."""
+    from tenstream_tpu.core.config import Options
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral import specint_pprts
+
+    atm = setup_standard_atmosphere(nlay=10, ztop=16e3)
+    nx = ny = 3
+    grid = Grid.create(atm.nlay, nx, ny, 100.0, 100.0,
+                       np.asarray(atm.dz, np.float32))
+    res = {}
+    for grouped in (True, False):
+        opts = Options()
+        opts.set("specint_band_group", grouped)
+        solver = PprtsSolver(grid, opp_small, options=opts)
+        solver.set_angles(sundir_from_angles(30.0, 40.0))
+        r = [specint_pprts(solver, atm, albedo=0.2, lthermal=True,
+                           lsolar=True, specint="ecckd", band_chunk=4)
+             for _ in range(3)]
+        res[grouped] = [np.asarray(x.edn) for x in r]
+        if grouped:
+            # grouping froze after the first solve
+            assert "solar" in solver._band_order
+            assert "thermal" in solver._band_order
+            # regrouped warm starts: third solve converges instantly
+            niters = [int(np.max(np.asarray(s.niter_diff)))
+                      for s in solver.solutions.values()]
+            assert max(niters) <= 2, niters
+    for a, b in zip(res[True], res[False]):
+        np.testing.assert_allclose(a, b, atol=1e-2)
