@@ -131,7 +131,10 @@ class PlexrtSolver:
 
     def __init__(self, grid: PlexGrid, opp: WedgeOptProp, n_inner: int = 24,
                  diff_iters: int = 300, diff_rtol: float = 1e-5,
-                 diff_solver: str = "fixedpoint"):
+                 diff_solver: str = "bicgstab"):
+        # bicgstab (residual-based stopping) is the default — reference
+        # KSPFBCGS, `plexrt/plex_rt.F90:2228`; 'fixedpoint' keeps the
+        # explicit-SOR-analogue iteration.
         # n_inner: triangle side-to-side chains decay slower than the
         # cube's X<->Y coupling; 24 sweeps keep transparent transport
         # exact to <1e-4 (see tests)

@@ -45,8 +45,12 @@ class PlexrtSolverIcon:
     layers of thickness dz (TOA -> surface)."""
 
     def __init__(self, mesh: TriMesh, dz, opp: WedgeOptProp,
-                 n_inner: int = 24, diff_iters: int = 300,
-                 diff_rtol: float = 1e-5, diff_solver: str = "fixedpoint"):
+                 n_inner: int = 24, diff_iters: int = 1000,
+                 diff_rtol: float = 1e-5, diff_solver: str = "bicgstab"):
+        # bicgstab with residual-based stopping is the DEFAULT (round-4;
+        # reference KSPFBCGS default, `plexrt/plex_rt.F90:2228`);
+        # diff_iters is the safety cap, not the stopping rule.
+        # 'fixedpoint' keeps the explicit-SOR-analogue iteration.
         self.diff_solver = diff_solver
         self.mesh = mesh
         self.dz = np.broadcast_to(np.asarray(dz, np.float32).ravel(), (np.size(dz),)).copy() \
@@ -104,15 +108,47 @@ class PlexrtSolverIcon:
     def set_angles(self, sundir) -> None:
         self._sundir = np.asarray(sundir, np.float64)
 
+    # ------------------------------------------------------------------
+    def set_mesh(self, dev_mesh) -> None:
+        """Attach a device mesh: all per-cell fields are placed with the
+        flat `nc` axis sharded over EVERY mesh axis (product sharding).
+        The neighbor gathers in `_exchange` lower to GSPMD collectives
+        (an all-gather of the (.., nc, 3) side-outflow field per sweep —
+        the gather-based analogue of the structured solver's halo
+        permutes; an arbitrary ICON adjacency has no static halo).  The
+        reference decomposes plexrt over MPI ranks with PETSc SF
+        exchanges (`plexrt/plex_rt.F90`, SURVEY §2.5)."""
+        self._dev_mesh = dev_mesh
+        for name in ("_ex_mask", "_area", "_side_len", "_phi_rot"):
+            ax = {"_ex_mask": 0, "_area": 0, "_side_len": 0, "_phi_rot": 0}[name]
+            setattr(self, name, self._shard(getattr(self, name), ax))
+        self._wedge_C = tuple(self._shard(c, 0) for c in self._wedge_C)
+
+    _dev_mesh = None
+
+    def _shard(self, a, nc_axis: int):
+        """Place `a` with axis `nc_axis` sharded over the attached device
+        mesh (no-op without one)."""
+        if self._dev_mesh is None or a is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = a.ndim + nc_axis if nc_axis < 0 else nc_axis
+        names = tuple(self._dev_mesh.axis_names)
+        spec = P(*([None] * ax), names, *([None] * (a.ndim - ax - 1)))
+        return jax.device_put(a, NamedSharding(self._dev_mesh, spec))
+
     def set_optical_properties(self, albedo, kabs, ksca, g, planck=None,
                                planck_srfc=None) -> None:
         """kabs/ksca/g: (nz, nc); planck: (nz+1, nc)."""
         self._albedo = albedo
-        self._kabs = jnp.asarray(kabs, ireals)
-        self._ksca = jnp.asarray(ksca, ireals)
-        self._g = jnp.asarray(g, ireals)
-        self._planck = None if planck is None else jnp.asarray(planck, ireals)
-        self._planck_srfc = None if planck_srfc is None else jnp.asarray(planck_srfc, ireals)
+        self._kabs = self._shard(jnp.asarray(kabs, ireals), -1)
+        self._ksca = self._shard(jnp.asarray(ksca, ireals), -1)
+        self._g = self._shard(jnp.asarray(g, ireals), -1)
+        self._planck = (None if planck is None
+                        else self._shard(jnp.asarray(planck, ireals), -1))
+        self._planck_srfc = (None if planck_srfc is None
+                             else self._shard(jnp.asarray(planck_srfc, ireals), -1))
 
     # ------------------------------------------------------------------
     def _exchange(self, out_side):
@@ -120,7 +156,18 @@ class PlexrtSolverIcon:
         boundaries).  out_side: (..., nc, 3)."""
         flat = out_side.reshape(out_side.shape[:-2] + (-1,))
         gathered = jnp.take(flat, self._ex_idx, axis=-1)
-        return gathered.reshape(out_side.shape) * self._ex_mask
+        got = gathered.reshape(out_side.shape) * self._ex_mask
+        if self._dev_mesh is not None:
+            # the gather's output inherits the (replicated) index
+            # sharding; pin it back onto the cell decomposition so the
+            # sweep stays distributed
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            names = tuple(self._dev_mesh.axis_names)
+            spec = P(*([None] * (got.ndim - 2)), names, None)
+            got = jax.lax.with_sharding_constraint(
+                got, NamedSharding(self._dev_mesh, spec))
+        return got
 
     def _sun_angles(self) -> Tuple[float, float, float]:
         s = self._sundir / np.linalg.norm(self._sundir)
@@ -283,8 +330,8 @@ class PlexrtSolverIcon:
         albedo = jnp.asarray(self._albedo, ireals)
         dir_sfc = edir[-1] if edir is not None else jnp.zeros((nc,), ireals)
 
-        E = jnp.zeros((2, nz + 1, nc), ireals)
-        F = jnp.zeros((2, nz, nc, 3), ireals)
+        E = self._shard(jnp.zeros((2, nz + 1, nc), ireals), -1)
+        F = self._shard(jnp.zeros((2, nz, nc, 3), ireals), -2)
 
         from tenstream_tpu.plexrt.solver import iterate_diffuse
 

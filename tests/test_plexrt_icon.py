@@ -210,3 +210,36 @@ def test_specint_on_icon_solver(opp):
         assert ai.min() >= -1e-3
         assert ai.mean() <= bs.mean() * 1.05, name
     assert np.isfinite(np.asarray(ri.abso)).all()
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_icon_solve_matches_single(opp):
+    """Cell-sharded ICON wedge solve == single-device solve (1-proc ==
+    N-proc reference suite semantics for the gather-based mesh path)."""
+    import jax
+
+    from tenstream_tpu.parallel.mesh import make_mesh
+
+    m = trimesh_from_structured(8, 8, 100.0, 100.0)  # nc = 128, /8
+    nz = 4
+    rng = np.random.default_rng(3)
+    ka = (1e-4 + 1e-3 * rng.random((nz, m.ncell))).astype(np.float32)
+    ks = (1e-4 + 8e-3 * rng.random((nz, m.ncell))).astype(np.float32)
+    gg = np.full((nz, m.ncell), 0.4, np.float32)
+    out = {}
+    for shard in (False, True):
+        s = PlexrtSolverIcon(m, np.full(nz, 80.0, np.float32), opp)
+        if shard:
+            s.set_mesh(make_mesh(jax.devices()[:8]))
+        s.set_optical_properties(0.2, ka, ks, gg)
+        s.set_angles(_sundir(25.0, 35.0))
+        sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+        # bicgstab default converged (residual-based stopping)
+        assert float(np.asarray(sol.diff_res)) <= 1.5 * float(
+            np.asarray(sol.diff_tol))
+        out[shard] = [None if a is None else np.asarray(a)
+                      for a in s.get_result(sol)]
+    for a, b in zip(out[False], out[True]):
+        if a is not None:
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3)
