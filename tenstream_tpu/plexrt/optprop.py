@@ -464,3 +464,123 @@ class WedgeOptProp:
         shp = jnp.broadcast_shapes(*[f.shape for f in fr])
         fr = [jnp.broadcast_to(f, shp) for f in fr]
         return interp_multilinear(self._d2d, fr), interp_multilinear(self._d2f, fr)
+
+
+def mesh_cell_shapes(mesh):
+    """Per-cell apex (cx, cy) in the cell-local canonical frame (side 0
+    = AB on +x, unit AB)."""
+    v = mesh.verts[mesh.tris]  # (nc, 3, 2)
+    ab = v[:, 1] - v[:, 0]
+    ac = v[:, 2] - v[:, 0]
+    L = np.maximum(np.linalg.norm(ab, axis=-1), 1e-30)
+    abh = ab / L[:, None]
+    cx = (ac * abh).sum(-1) / L
+    cy = np.abs(ac[:, 1] * abh[:, 0] - ac[:, 0] * abh[:, 1]) / L
+    return cx, np.maximum(cy, 1e-6)
+
+
+def wedge_optprop_for_mesh(mesh, daxes=None, faxes=None, n_photons: int = 5000,
+                           basename=None, verbose: bool = False,
+                           shape_tol: float = 0.05):
+    """Shape coverage for an arbitrary triangle mesh (the reference's
+    triangle-shape LUT axes, `src/optprop_base.F90:230-283` /
+    `src/LUT_param_phi.F90:20-47`, realized as per-cell TABLE BLENDING
+    instead of extra gather axes — each traced table is shape-exact at
+    its sample apex, and a cell interpolates bilinearly between the
+    samples that bracket its own shape).
+
+    Near-uniform meshes (apex spread <= shape_tol in both coordinates)
+    get ONE mean-shape table (`wedge_lut_for_mesh` economy); wider
+    distributions get the 2/4 bounding-box corner tables and a
+    `WedgeOptPropShaped` that blends per cell.  Flux-level accuracy on
+    a strongly distorted mesh is measured in
+    `tools/wedge_shape_error.py --flux-hetero` (PARITY.md)."""
+    cx, cy = mesh_cell_shapes(mesh)
+    w = mesh.area / mesh.area.sum()
+    lo = (float(cx.min()), float(cy.min()))
+    hi = (float(cx.max()), float(cy.max()))
+    span = (hi[0] - lo[0], hi[1] - lo[1])
+    if max(span) <= shape_tol:
+        return WedgeOptProp(wedge_lut_for_mesh(
+            mesh, daxes, faxes, n_photons, basename, verbose))
+    xs = [lo[0], hi[0]] if span[0] > shape_tol else [float((cx * w).sum())]
+    ys = [lo[1], hi[1]] if span[1] > shape_tol else [float((cy * w).sum())]
+    luts = [
+        load_or_create_wedge_lut(daxes, faxes, n_photons, basename, verbose,
+                                 apex=(ax, ay))
+        for ay in ys for ax in xs
+    ]
+    opp = WedgeOptPropShaped(luts)
+    opp.bind_cells(cx, cy)
+    return opp
+
+
+class WedgeOptPropShaped:
+    """Per-cell shape interpolation over K shape-sample wedge tables.
+
+    Each sample table is traced shape-exact at one apex; `bind_cells`
+    computes bilinear blend weights in (cx, cy) apex space (clipped to
+    the sample hull) per mesh cell.  Lookups evaluate every sample
+    table and blend — K x the single-table cost, covering
+    shape-heterogeneous meshes that a single canonical/mean-shape table
+    handles with ~10-16% flux error (PARITY.md).  The per-table
+    param-phi azimuth map is applied INTERNALLY (each table maps the
+    raw cell azimuth onto its own sample shape), so solvers pass the
+    unmapped cell azimuth."""
+
+    def __init__(self, luts):
+        assert luts, "need at least one shape-sample table"
+        self.luts = list(luts)
+        self.tabs = [WedgeOptProp(l) for l in self.luts]
+        self.apexes = np.asarray([tuple(l.apex) for l in self.luts], np.float64)
+        self.lut = self.luts[0]  # scheme/axes accessor compatibility
+        self._w = None
+        self._cells = None
+
+    def bind_cells(self, cx, cy) -> None:
+        xs = np.unique(self.apexes[:, 0])
+        ys = np.unique(self.apexes[:, 1])
+        u = (np.clip((cx - xs[0]) / (xs[-1] - xs[0]), 0.0, 1.0)
+             if len(xs) > 1 else np.zeros_like(cx))
+        v = (np.clip((cy - ys[0]) / (ys[-1] - ys[0]), 0.0, 1.0)
+             if len(ys) > 1 else np.zeros_like(cy))
+        ws = []
+        for l in self.luts:
+            ax, ay = l.apex
+            wx = np.where(np.isclose(ax, xs[0]), 1.0 - u, u) if len(xs) > 1 \
+                else np.ones_like(u)
+            wy = np.where(np.isclose(ay, ys[0]), 1.0 - v, v) if len(ys) > 1 \
+                else np.ones_like(v)
+            ws.append(wx * wy)
+        self._w = jnp.asarray(np.stack(ws), ireals)  # (K, nc)
+        self._cells = (jnp.asarray(cx, ireals), jnp.asarray(cy, ireals))
+
+    def _blend(self, parts):
+        out = None
+        for k, p in enumerate(parts):
+            w = self._w[k].reshape((1,) * (p.ndim - 3) + (-1, 1, 1))
+            out = p * w if out is None else out + p * w
+        return out
+
+    def diff_coeffs(self, tauz, w0, g, aspect):
+        assert self._w is not None, "call bind_cells(cx, cy) first"
+        return self._blend([t.diff_coeffs(tauz, w0, g, aspect)
+                            for t in self.tabs])
+
+    def dir_coeffs(self, tauz, w0, g, aspect, phi_deg, theta_deg):
+        """phi_deg: RAW cell azimuth (phi + phi_rot), unmapped — each
+        sample table applies its own param-phi azimuth map."""
+        from tenstream_tpu.plexrt.param_phi import canonical_azimuth_map
+
+        assert self._w is not None, "call bind_cells(cx, cy) first"
+        cx, cy = self._cells
+        dd_parts, df_parts = [], []
+        for t in self.tabs:
+            ax, ay = t.lut.apex
+            phi_k = canonical_azimuth_map(
+                jnp.asarray(phi_deg, ireals), cx[None, :], cy[None, :],
+                float(ax), float(ay))
+            dd, df = t.dir_coeffs(tauz, w0, g, aspect, phi_k, theta_deg)
+            dd_parts.append(dd)
+            df_parts.append(df)
+        return self._blend(dd_parts), self._blend(df_parts)

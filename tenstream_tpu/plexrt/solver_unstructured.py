@@ -79,6 +79,16 @@ class PlexrtSolverIcon:
         cx = (ac * abh).sum(-1) / L
         cy = (ac[:, 1] * abh[:, 0] - ac[:, 0] * abh[:, 1]) / L
         self._wedge_C = (jnp.asarray(cx, ireals), jnp.asarray(np.maximum(cy, 1e-6), ireals))
+        # shape-interpolating optprop (`WedgeOptPropShaped`): K sample
+        # tables bracket the mesh's shape distribution and apply their
+        # own per-table azimuth maps — the solver passes RAW azimuths
+        # and skips its single-table param-phi path entirely
+        self._shaped_opp = hasattr(opp, "bind_cells")
+        if self._shaped_opp:
+            opp.bind_cells(np.asarray(cx), np.asarray(np.maximum(cy, 1e-6)))
+            self._table_apex = (1.0, 1.0)
+            self._use_param_phi = False
+            return
         # the table's own triangle shape (canonical right triangle
         # (1, 1) unless a shape-aware table was traced for this mesh,
         # `optprop.wedge_lut_for_mesh`); the param-phi azimuth map

@@ -243,3 +243,116 @@ def test_sharded_icon_solve_matches_single(opp):
     for a, b in zip(out[False], out[True]):
         if a is not None:
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-3)
+
+
+def test_shaped_optprop_blends_and_matches_exact():
+    """WedgeOptPropShaped (per-cell shape interpolation over sample
+    tables — the reference's shape LUT axes realized as table blending,
+    src/optprop_base.F90:230-283): on a mesh whose cells ALL have one
+    sample's shape, the 4-table blend must equal the single shape-exact
+    table solve; weights must be a partition of unity."""
+    import numpy as np
+
+    from tenstream_tpu.plexrt.icon import trimesh_from_points
+    from tenstream_tpu.plexrt.optprop import (
+        WedgeAxes, WedgeLUT, WedgeOptProp, WedgeOptPropShaped,
+        create_wedge_lut,
+    )
+
+    axes_d = WedgeAxes(
+        tau=np.array([0.05, 0.5, 4.0], np.float32),
+        w0=np.array([0.3, 0.9], np.float32),
+        aspect=np.array([0.5, 1.0, 1.8], np.float32),
+        g=np.array([0.0, 0.6], np.float32),
+        phi=np.linspace(0.0, 360.0, 9).astype(np.float32),
+        theta=np.array([0.0, 30.0, 60.0], np.float32),
+    )
+    axes_f = WedgeAxes(axes_d.tau, axes_d.w0, axes_d.aspect, axes_d.g)
+    apexes = [(0.3, 0.6), (0.7, 0.6), (0.3, 1.0), (0.7, 1.0)]
+    luts = [create_wedge_lut(axes_d, axes_f, n_photons=400, seed=9, apex=a)
+            for a in apexes]
+    shaped = WedgeOptPropShaped(luts)
+
+    # a 2-triangle mesh whose cells BOTH have apex (0.3, 0.6) shape (up
+    # to the cell-local frame): C = A + 0.3*AB + 0.6*|AB|*n
+    L = 100.0
+    verts = np.array([[0, 0], [L, 0], [0.3 * L, 0.6 * L],
+                      [0.7 * L, -0.6 * L]], np.float64)
+    tris = np.array([[0, 1, 2], [1, 0, 3]], np.int32)
+    mesh = trimesh_from_points(verts, tris)
+
+    from tenstream_tpu.plexrt.optprop import mesh_cell_shapes
+    cx, cy = mesh_cell_shapes(mesh)
+    np.testing.assert_allclose(cx, 0.3, atol=1e-6)
+    np.testing.assert_allclose(cy, 0.6, atol=1e-6)
+    shaped.bind_cells(cx, cy)
+    w = np.asarray(shaped._w)
+    np.testing.assert_allclose(w.sum(0), 1.0, atol=1e-6)
+    np.testing.assert_allclose(w[0], 1.0, atol=1e-6)  # exact corner hit
+
+    exact = WedgeOptProp(luts[0])
+    nz, nc = 3, mesh.ncell
+    tz = np.full((nz, nc), 0.8, np.float32)
+    w0 = np.full((nz, nc), 0.7, np.float32)
+    gg = np.full((nz, nc), 0.4, np.float32)
+    asp = np.full((nz, nc), 0.9, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(shaped.diff_coeffs(tz, w0, gg, asp)),
+        np.asarray(exact.diff_coeffs(tz, w0, gg, asp)), atol=1e-6)
+    phi = np.full((nz, nc), 25.0, np.float32)
+    dd_s, df_s = shaped.dir_coeffs(tz, w0, gg, asp, phi, 30.0)
+    # table 0 IS the cell shape: its azimuth map is identity there
+    dd_e, df_e = exact.dir_coeffs(tz, w0, gg, asp, phi, 30.0)
+    np.testing.assert_allclose(np.asarray(dd_s), np.asarray(dd_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(df_s), np.asarray(df_e), atol=1e-6)
+
+
+def test_shaped_optprop_solver_e2e():
+    """Distorted heterogeneous mesh end-to-end through PlexrtSolverIcon
+    with a shaped optprop: solves, converges, conserves energy."""
+    import numpy as np
+
+    from tenstream_tpu.plexrt.icon import trimesh_from_points, trimesh_from_structured
+    from tenstream_tpu.plexrt.optprop import (
+        WedgeAxes, WedgeOptPropShaped, create_wedge_lut, mesh_cell_shapes,
+    )
+
+    base = trimesh_from_structured(4, 4, 100.0, 100.0)
+    rng = np.random.default_rng(2)
+    verts = base.verts + rng.uniform(-18.0, 18.0, base.verts.shape)
+    mesh = trimesh_from_points(verts, base.tris)
+    cx, cy = mesh_cell_shapes(mesh)
+    assert (cx.max() - cx.min()) > 0.1  # genuinely heterogeneous
+
+    axes_d = WedgeAxes(
+        tau=np.array([0.05, 0.5, 4.0], np.float32),
+        w0=np.array([0.3, 0.9], np.float32),
+        aspect=np.array([0.5, 1.0, 1.8], np.float32),
+        g=np.array([0.0, 0.6], np.float32),
+        phi=np.linspace(0.0, 360.0, 9).astype(np.float32),
+        theta=np.array([0.0, 30.0, 60.0], np.float32),
+    )
+    axes_f = WedgeAxes(axes_d.tau, axes_d.w0, axes_d.aspect, axes_d.g)
+    apexes = [(float(cx.min()), float(cy.min())), (float(cx.max()), float(cy.min())),
+              (float(cx.min()), float(cy.max())), (float(cx.max()), float(cy.max()))]
+    luts = [create_wedge_lut(axes_d, axes_f, n_photons=400, seed=4, apex=a)
+            for a in apexes]
+    opp = WedgeOptPropShaped(luts)
+
+    from tenstream_tpu.plexrt.solver_unstructured import PlexrtSolverIcon
+
+    nz = 3
+    s = PlexrtSolverIcon(mesh, [90.0] * nz, opp)
+    assert s._shaped_opp and not s._use_param_phi
+    ka = np.full((nz, mesh.ncell), 3e-4, np.float32)
+    ks = np.full((nz, mesh.ncell), 8e-3, np.float32)
+    gg = np.full((nz, mesh.ncell), 0.4, np.float32)
+    s.set_optical_properties(0.2, ka, ks, gg)
+    s.set_angles(_sundir(25.0, 40.0))
+    sol = s.solve(lthermal=False, lsolar=True, edirTOA=1000.0)
+    edir, edn, eup, abso = [np.asarray(a) for a in s.get_result(sol)]
+    assert np.isfinite(edn).all() and (edn >= -1e-3).all()
+    assert float(np.asarray(sol.diff_res)) <= 1.5 * float(np.asarray(sol.diff_tol))
+    # column energy budget: TOA in >= out + absorbed (open sides leak)
+    toa_in = np.asarray(edir[0]).mean()
+    assert 0.0 < eup[0].mean() < toa_in
