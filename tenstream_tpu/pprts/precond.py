@@ -182,11 +182,34 @@ def build_coarse_factors(
     return CoarseFactors(C, F, E)
 
 
+def _dft_mat(n: int, inverse: bool = False) -> jnp.ndarray:
+    """Dense DFT matrix.  The coarse grid is <= ~32x32, where an
+    explicit (n, n) complex matmul costs nothing (and rides the MXU on
+    TPU); it also avoids XLA's FFT thunk entirely, which on the CPU
+    backend RET_CHECKs on the non-default layouts GSPMD assigns inside
+    sharded programs (fft_thunk.cc:167 — hit by the multichip dryrun)."""
+    k = np.arange(n)
+    sgn = 2j if inverse else -2j
+    m = np.exp(sgn * np.pi * np.outer(k, k) / n) / (n if inverse else 1.0)
+    return jnp.asarray(m.astype(np.complex64))
+
+
+def _dft2(rc: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """2-D DFT over the trailing (x, y) axes via two dense matmuls."""
+    ncx, ncy = rc.shape[-2], rc.shape[-1]
+    Fx = _dft_mat(ncx, inverse)
+    Fy = _dft_mat(ncy, inverse)
+    out = jnp.einsum("...xy,xu->...uy", rc, Fx,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...uy,yv->...uv", out, Fy,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
-    """Solve the homogeneous coarse system: FFT2 -> per-mode forward/
-    backward block substitution -> iFFT2.  rc: (ndiff, Nz+1, ncx, ncy)."""
+    """Solve the homogeneous coarse system: DFT2 -> per-mode forward/
+    backward block substitution -> iDFT2.  rc: (ndiff, Nz+1, ncx, ncy)."""
     nf, L1, ncx, ncy = rc.shape
-    rh = jnp.fft.fft2(rc.astype(jnp.complex64), axes=(-2, -1))
+    rh = _dft2(rc.astype(jnp.complex64))
     rh = jnp.transpose(rh.reshape(nf, L1, ncx * ncy), (1, 2, 0))  # (l, m, d)
 
     def fwd(yprev, inp):
@@ -212,7 +235,7 @@ def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
     )
     x = jnp.concatenate([xs, xL[None]], axis=0)  # (l, m, d)
     xc = jnp.transpose(x, (2, 0, 1)).reshape(nf, L1, ncx, ncy)
-    return jnp.real(jnp.fft.ifft2(xc, axes=(-2, -1))).astype(rc.dtype)
+    return jnp.real(_dft2(xc, inverse=True)).astype(rc.dtype)
 
 
 def pool2d(r: jnp.ndarray, cf: int) -> jnp.ndarray:
