@@ -167,12 +167,25 @@ def build_coarse_factors(
     D = D.at[-1].add(-amean * jnp.asarray(alb, D.dtype))
 
     # block-Thomas factorization over z (batched complex 10x10 inverses)
-    F0 = jnp.linalg.inv(D[0])
+    def _cinv(A):
+        """Complex matrix inverse via the real 2n x 2n embedding
+        inv([[Ar, -Ai], [Ai, Ar]]) = [[Br, -Bi], [Bi, Br]]: TPU has no
+        complex LU lowering (complex matmuls/elementwise are fine — XLA
+        decomposes them into real ops; linalg decompositions are not)."""
+        n = A.shape[-1]
+        Ar, Ai = jnp.real(A), jnp.imag(A)
+        R = jnp.concatenate([
+            jnp.concatenate([Ar, -Ai], axis=-1),
+            jnp.concatenate([Ai, Ar], axis=-1)], axis=-2)
+        Ri = jnp.linalg.inv(R)
+        return jax.lax.complex(Ri[..., :n, :n], Ri[..., n:, :n])
+
+    F0 = _cinv(D[0])
 
     def step(Fprev, inp):
         D_l, Lo_l, Up_prev = inp
         C_l = Lo_l @ Fprev
-        F_l = jnp.linalg.inv(D_l - C_l @ Up_prev)
+        F_l = _cinv(D_l - C_l @ Up_prev)
         return F_l, (F_l, C_l)
 
     _, (Fs, Cs) = jax.lax.scan(step, F0, (D[1:], Lo[1:], Up[:-1]))
