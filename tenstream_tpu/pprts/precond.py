@@ -282,10 +282,15 @@ def make_two_level_pc(scheme: StreamScheme, coeff, albedo2d, cf: int = 0):
     ncx, ncy = nx // cf, ny // cf
     factors = build_coarse_factors(scheme, coeff, albedo2d, cf, ncx, ncy)
 
+    # the line solve assumes a single up/down difftop pair; 3_16/3_24
+    # (8 top dofs) get the coarse solve with identity on the high-pass
+    has_line = scheme.difftop.dof == 2
+
     def M(r):
         rc = pool2d(r, cf)
-        r_low = unpool2d(rc, cf)
-        z_hi = vertical_line_solve(scheme, coeff, r - r_low, albedo2d)
+        r_hi = r - unpool2d(rc, cf)
+        z_hi = (vertical_line_solve(scheme, coeff, r_hi, albedo2d)
+                if has_line else r_hi)
         z_lo = unpool2d(coarse_solve(factors, rc), cf)
         return z_hi + z_lo
 

@@ -448,7 +448,12 @@ def specint_pprts(
         band_rows = solver._band_rows.setdefault(uid_tag, {})
         gids_all = np.arange(g_lo, g_hi)
         if order is not None:
-            gids_all = np.asarray([g for g in order if g_lo <= g < g_hi])
+            known = [g for g in order if g_lo <= g < g_hi]
+            # bands outside the recorded order (e.g. the order was frozen
+            # on a `bands=` subset and this call covers more) append in
+            # natural order — NEVER silently dropped
+            extra = [g for g in gids_all if g not in set(known)]
+            gids_all = np.asarray(known + extra, dtype=np.int64)
         groups = [gids_all[i:i + band_chunk]
                   for i in range(0, len(gids_all), band_chunk)]
         group_niters = []  # (gids, device niter) for the regroup decision

@@ -130,3 +130,54 @@ def test_solver_end_to_end_matches_line_pc(opp_small):
         np.max(np.asarray(sol_t.diff_tol)))
     for a, b in zip(flx_t, flx_l):
         np.testing.assert_allclose(a, b, atol=0.2)
+
+
+def test_exact_inverse_homogeneous_cf1_3_16():
+    """8-top-dof scheme (3_16): the coarse solve alone (no line part)
+    must still be the exact inverse at cf=1 + uniform optics."""
+    import os
+
+    from tenstream_tpu.optprop.facade import OptProp
+    from tenstream_tpu.optprop.lut import LUTAxes, load_or_create_lut
+    from tenstream_tpu.pprts.operators import diffuse_scatter
+    from tenstream_tpu.pprts.precond import make_two_level_pc
+
+    axes = LUTAxes(
+        tau=np.array([1e-10, 0.3, 3.0], np.float32),
+        w0=np.array([0.0, 0.9], np.float32),
+        aspect=np.array([0.5, 1.0, 2.0], np.float32),
+        g=np.array([0.0, 0.5], np.float32),
+        phi=np.array([0.0, 45.0, 90.0], np.float32),
+        theta=np.array([0.0, 40.0, 80.0], np.float32),
+    )
+    daxes = LUTAxes(axes.tau, axes.w0, axes.aspect, axes.g)
+    lut = load_or_create_lut(
+        "3_16", axes, daxes, n_photons=1200,
+        basename=os.path.join(os.path.dirname(__file__), "data", "luts"),
+    )
+    opp = OptProp(lut)
+    scheme = opp.scheme
+    from tenstream_tpu.pprts.coeffs import assemble_coeffs
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.sun import suninfo_from_sundir, sundir_from_angles
+
+    nz, nx, ny = 5, 8, 8
+    ka = np.full((nz, nx, ny), 3e-4, np.float32)
+    ks = np.full((nz, nx, ny), 1e-3, np.float32)
+    g = np.full((nz, nx, ny), 0.4, np.float32)
+    grid = Grid.create(nz, nx, ny, 100.0, 100.0, 100.0)
+    sun = suninfo_from_sundir(sundir_from_angles(30.0, 40.0))
+    coeffs, _ = assemble_coeffs(
+        scheme, opp, jnp.asarray(ka), jnp.asarray(ks), jnp.asarray(g),
+        grid.dz3d, grid.dx, np.zeros(nz, bool), sun, need_dir=False,
+    )
+    albedo = jnp.full((nx, ny), 0.2, jnp.float32)
+    M = make_two_level_pc(scheme, coeffs.diff2diff, albedo, cf=1)
+
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal((scheme.ndiff, nz + 1, nx, ny)),
+                    jnp.float32)
+    r = r.at[scheme.difftop.dof:, -1].set(0.0)
+    z = M(r)
+    Az = z - diffuse_scatter(scheme, coeffs.diff2diff, z, albedo)
+    np.testing.assert_allclose(np.asarray(Az), np.asarray(r), atol=5e-5)
