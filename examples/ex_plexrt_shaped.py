@@ -33,7 +33,7 @@ from tenstream_tpu.plexrt.optprop import (
 from tenstream_tpu.plexrt.solver_unstructured import PlexrtSolverIcon
 
 
-def main(nx=6, ny=6, nz=6, dx=100.0, photons=1500):
+def main(nx=6, ny=6, nz=6, dx=100.0, photons=500):
     base = trimesh_from_structured(nx, ny, dx, dx)
     rng = np.random.default_rng(42)
     mesh = trimesh_from_points(
@@ -54,7 +54,10 @@ def main(nx=6, ny=6, nz=6, dx=100.0, photons=1500):
         theta=np.array([0.0, 25.0, 50.0, 75.0], np.float32),
     )
     axes_f = WedgeAxes(axes_d.tau, axes_d.w0, axes_d.aspect, axes_d.g)
-    opp = wedge_optprop_for_mesh(mesh, axes_d, axes_f, n_photons=photons)
+    # cache the sample tables beside the example outputs, not data/luts
+    cache = os.path.join(os.path.dirname(__file__), "out_shaped_luts")
+    opp = wedge_optprop_for_mesh(mesh, axes_d, axes_f, n_photons=photons,
+                                 basename=cache)
     ntab = len(getattr(opp, "tabs", [None]))
     print(f"shape coverage: {ntab} sample table(s)")
 
