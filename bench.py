@@ -177,6 +177,9 @@ def main():
         solver.options.set("diff_solver", os.environ["BENCH_DIFF_SOLVER"])
     if os.environ.get("BENCH_PRECOND"):
         solver.options.set("diff_precond", os.environ["BENCH_PRECOND"])
+    if os.environ.get("BENCH_EXTRAPOLATE"):
+        solver.options.set("specint_warm_extrapolate",
+                           bool(int(os.environ["BENCH_EXTRAPOLATE"])))
     if os.environ.get("BENCH_PALLAS") is not None and os.environ.get("BENCH_PALLAS") != "":
         solver.options.set("pprts_pallas_diffuse", bool(int(os.environ["BENCH_PALLAS"])))
     if os.environ.get("BENCH_Z_SLAB"):

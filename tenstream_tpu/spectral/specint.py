@@ -422,6 +422,10 @@ def specint_pprts(
         # default; kept as an option for Richardson-type solvers where
         # an initial guess cannot mislead.
         band_seed = solver.options.get_bool("specint_band_seed", False)
+        extrapolate = solver.options.get_bool("specint_warm_extrapolate", False)
+        if not hasattr(solver, "_extrap_states"):
+            solver._extrap_states = {}
+        extrap_states = solver._extrap_states
         last_x = None
 
         # Difficulty-grouped band chunks (round-3 verdict item 3):
@@ -505,6 +509,16 @@ def specint_pprts(
                 x0 = (np.asarray(prev.ediff, dtype=ireals)
                       if isinstance(prev.ediff, np.ndarray)
                       else prev.ediff.astype(ireals))
+                # time-stepping extrapolation (opt-in): in the perturbed
+                # stepping regime the scene drifts smoothly, so
+                # x0 = 2 x(t-1) - x(t-2) tracks the drift instead of
+                # lagging one step.  Same-band seed (unlike the measured-
+                # net-negative cross-band seeding: here the shadow
+                # residual sees its OWN operator).  Costs one extra f32
+                # state per chunk, so it requires specint_cache=f32.
+                old = extrap_states.get(cache_key) if extrapolate else None
+                if old is not None and jnp.shape(old) == jnp.shape(x0):
+                    x0 = 2.0 * jnp.asarray(x0) - jnp.asarray(old, ireals)
             else:
                 gathered = gather_prev(gsel_ids) if prev is None else None
                 if gathered is not None:  # regrouped chunk: row-gathered
@@ -605,6 +619,10 @@ def specint_pprts(
                     x_keep = ediff_b.astype(jnp.bfloat16)
                 else:
                     x_keep = ediff_b
+                if (extrapolate and cache_mode == "f32"
+                        and prev is not None and prev.ediff is not None):
+                    # keep x(t-1) for the next step's extrapolated seed
+                    extrap_states[cache_key] = prev.ediff
                 solver.solutions[cache_key] = Solution(
                     None, x_keep, None, om_b, niter_b, res_b, diff_tol=tol_b
                 )

@@ -234,3 +234,37 @@ def test_specint_band_grouping(opp_small):
             assert max(niters) <= 2, niters
     for a, b in zip(res[True], res[False]):
         np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_specint_warm_extrapolation(opp_small):
+    """Opt-in x0 = 2x(t-1) - x(t-2) stepping seed: fluxes must match the
+    plain warm-start solve on a drifting scene."""
+    from tenstream_tpu.core.config import Options
+    from tenstream_tpu.pprts.grid import Grid
+    from tenstream_tpu.pprts.solver import PprtsSolver
+    from tenstream_tpu.pprts.sun import sundir_from_angles
+    from tenstream_tpu.spectral import specint_pprts
+
+    atm = setup_standard_atmosphere(nlay=10, ztop=16e3)
+    nx = ny = 4
+    grid = Grid.create(atm.nlay, nx, ny, 100.0, 100.0,
+                       np.asarray(atm.dz, np.float32))
+    res = {}
+    for extrap in (False, True):
+        opts = Options()
+        opts.set("specint_warm_extrapolate", extrap)
+        opts.set("specint_cache", "f32")
+        solver = PprtsSolver(grid, opp_small, options=opts)
+        solver.set_angles(sundir_from_angles(30.0, 40.0))
+        lwc = np.zeros((atm.nlay, nx, ny), np.float32)
+        outs = []
+        for step in range(4):
+            lwc[:] = 0.0
+            lwc[6, (step) % nx, 1] = 0.25  # advecting cloud
+            r = specint_pprts(solver, atm, albedo=0.2, lthermal=True,
+                              lsolar=True, specint="ecckd", lwc=lwc,
+                              band_chunk=8)
+            outs.append(np.asarray(r.edn))
+        res[extrap] = outs
+    for a, b in zip(res[True], res[False]):
+        np.testing.assert_allclose(a, b, atol=1e-2)
