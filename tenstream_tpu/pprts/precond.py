@@ -50,7 +50,12 @@ from tenstream_tpu.streams import StreamScheme
 
 class CoarseFactors(NamedTuple):
     """Precomputed block-Thomas factorization of the per-mode coarse
-    systems.  Shapes: (Nz+1, nmodes, ndiff, ndiff) complex."""
+    systems.  Shapes: (Nz+1, ndiff, ndiff, nmodes) complex — the MODE
+    axis is minor-most on purpose: TPU tiles the two minor dims to
+    (8, 128), so a (..., 10, 10)-minor layout pads 20.5x (the round-4
+    regression: 88 MB of factors became 1.77 GB of HBM traffic per
+    buffer and OOM'd 256^2 at chunk=2), while (..., 10, 10, 1024) pads
+    only 1.6x and every block op is lane-parallel over the modes."""
 
     C: jnp.ndarray  # C_l = Lo_l @ F_{l-1}   (forward elimination)
     F: jnp.ndarray  # F_l = W_l^-1            (pivot inverses)
@@ -137,17 +142,19 @@ def build_coarse_factors(
     Phi, offs, offd = _phase_tables(scheme, ncx, ncy, cf)
     Phi = jnp.asarray(Phi)  # (nf_s, nf_d, M)
 
-    # T[k, m, d, s] = cbar[s, d, k] * Phi[s, d, m]
+    # T[k, d, s, m] = cbar[s, d, k] * Phi[s, d, m] — modes MINOR (see
+    # CoarseFactors: a mode-minor layout is what keeps the factorization
+    # lane-parallel instead of 20.5x-padded)
     T = cbar[:, :, :, None] * Phi[:, :, None, :]  # (s, d, k, m) c64
-    T = jnp.transpose(T, (2, 3, 1, 0))  # (k, m, d, s)
+    T = jnp.transpose(T, (2, 1, 0, 3))  # (k, d, s, m)
 
-    m00 = jnp.asarray((~offd)[:, None] & (~offs)[None, :])  # (d, s)
-    m11 = jnp.asarray(offd[:, None] & offs[None, :])
-    m01 = jnp.asarray(offd[:, None] & (~offs)[None, :])  # sub-diag (X_{l-1})
-    m10 = jnp.asarray((~offd)[:, None] & offs[None, :])  # super-diag
+    m00 = jnp.asarray(((~offd)[:, None] & (~offs)[None, :])[..., None])  # (d, s, 1)
+    m11 = jnp.asarray((offd[:, None] & offs[None, :])[..., None])
+    m01 = jnp.asarray((offd[:, None] & (~offs)[None, :])[..., None])  # sub-diag
+    m10 = jnp.asarray(((~offd)[:, None] & offs[None, :])[..., None])  # super-diag
 
-    zero = jnp.zeros((1, M, nf, nf), T.dtype)
-    eye = jnp.broadcast_to(jnp.eye(nf, dtype=T.dtype), (L1, M, nf, nf))
+    zero = jnp.zeros((1, nf, nf, M), T.dtype)
+    eye = jnp.broadcast_to(jnp.eye(nf, dtype=T.dtype)[:, :, None], (L1, nf, nf, M))
     D = eye - jnp.concatenate([jnp.where(m00, T, 0), zero], axis=0)
     D = D - jnp.concatenate([zero, jnp.where(m11, T, 0)], axis=0)
     Lo = jnp.concatenate([zero, jnp.where(m01, T, 0)], axis=0) * -1.0
@@ -164,34 +171,50 @@ def build_coarse_factors(
             for s in range(scheme.difftop.dof):
                 if inward[s]:
                     alb[d, s] = float(wtop[d])
-    D = D.at[-1].add(-amean * jnp.asarray(alb, D.dtype))
+    D = D.at[-1].add(-amean * jnp.asarray(alb, D.dtype)[:, :, None])
 
-    # block-Thomas factorization over z (batched complex 10x10 inverses)
-    def _cinv(A):
-        """Complex matrix inverse via the real 2n x 2n embedding
-        inv([[Ar, -Ai], [Ai, Ar]]) = [[Br, -Bi], [Bi, Br]]: TPU has no
-        complex LU lowering (complex matmuls/elementwise are fine — XLA
-        decomposes them into real ops; linalg decompositions are not)."""
-        n = A.shape[-1]
-        Ar, Ai = jnp.real(A), jnp.imag(A)
-        R = jnp.concatenate([
-            jnp.concatenate([Ar, -Ai], axis=-1),
-            jnp.concatenate([Ai, Ar], axis=-1)], axis=-2)
-        Ri = jnp.linalg.inv(R)
-        return jax.lax.complex(Ri[..., :n, :n], Ri[..., n:, :n])
+    def _mm(A, B):
+        """Block matmul in (d, s, modes) layout: lane-parallel over the
+        minor mode axis, contraction over the tiny s index in sublanes."""
+        return jnp.einsum("...dsm,...stm->...dtm", A, B)
+
+    def _cinv(A, eps=1e-20):
+        """Batched complex block inverse by UNROLLED Gauss-Jordan over
+        the static block size, elementwise over the minor mode axis.
+        TPU has no complex LU lowering, and real LU (`linalg.inv` via the
+        2n x 2n embedding) both serializes and forces the (n, n)-minor
+        padded layout; n static steps of rank-1 updates need neither.
+        No pivoting: the blocks are I - T with spectral radius < 1
+        (energy conservation) plus Schur updates of the same character,
+        so the running pivots stay near 1; `eps` guards exact zeros."""
+        n = A.shape[-3]
+        X = jnp.broadcast_to(
+            jnp.eye(n, dtype=A.dtype)[:, :, None], A.shape
+        ).astype(A.dtype)
+        for i in range(n):
+            piv = A[..., i, i, :][..., None, :]  # (..., 1, m)
+            den = jnp.where(jnp.abs(piv) < eps, eps, piv)
+            rowA = A[..., i, :, :] / den  # (..., n, m)
+            rowX = X[..., i, :, :] / den
+            colA = A[..., :, i, :].at[..., i, :].set(0.0)  # (..., n, m)
+            A = A - colA[..., :, None, :] * rowA[..., None, :, :]
+            X = X - colA[..., :, None, :] * rowX[..., None, :, :]
+            A = A.at[..., i, :, :].set(rowA)
+            X = X.at[..., i, :, :].set(rowX)
+        return X
 
     F0 = _cinv(D[0])
 
     def step(Fprev, inp):
         D_l, Lo_l, Up_prev = inp
-        C_l = Lo_l @ Fprev
-        F_l = _cinv(D_l - C_l @ Up_prev)
+        C_l = _mm(Lo_l, Fprev)
+        F_l = _cinv(D_l - _mm(C_l, Up_prev))
         return F_l, (F_l, C_l)
 
     _, (Fs, Cs) = jax.lax.scan(step, F0, (D[1:], Lo[1:], Up[:-1]))
     F = jnp.concatenate([F0[None], Fs], axis=0)
     C = jnp.concatenate([jnp.zeros_like(F0)[None], Cs], axis=0)
-    E = jnp.concatenate([F[:-1] @ Up[:-1], jnp.zeros_like(F0)[None]], axis=0)
+    E = jnp.concatenate([_mm(F[:-1], Up[:-1]), jnp.zeros_like(F0)[None]], axis=0)
     return CoarseFactors(C, F, E)
 
 
@@ -220,34 +243,36 @@ def _dft2(rc: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
 
 def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
     """Solve the homogeneous coarse system: DFT2 -> per-mode forward/
-    backward block substitution -> iDFT2.  rc: (ndiff, Nz+1, ncx, ncy)."""
+    backward block substitution -> iDFT2.  rc: (ndiff, Nz+1, ncx, ncy).
+    All block ops run in the (d, s, modes) mode-minor layout (see
+    CoarseFactors)."""
     nf, L1, ncx, ncy = rc.shape
     rh = _dft2(rc.astype(jnp.complex64))
-    rh = jnp.transpose(rh.reshape(nf, L1, ncx * ncy), (1, 2, 0))  # (l, m, d)
+    rh = jnp.transpose(rh.reshape(nf, L1, ncx * ncy), (1, 0, 2))  # (l, d, m)
 
     def fwd(yprev, inp):
         C_l, r_l = inp
-        y = r_l - jnp.einsum("mds,ms->md", C_l, yprev)
+        y = r_l - jnp.einsum("dsm,sm->dm", C_l, yprev)
         return y, y
 
     y0 = rh[0]
     _, ys = jax.lax.scan(fwd, y0, (factors.C[1:], rh[1:]))
     y = jnp.concatenate([y0[None], ys], axis=0)
 
-    xL = jnp.einsum("mds,ms->md", factors.F[-1], y[-1])
+    xL = jnp.einsum("dsm,sm->dm", factors.F[-1], y[-1])
 
     def bwd(xnext, inp):
         F_l, E_l, y_l = inp
-        x = jnp.einsum("mds,ms->md", F_l, y_l) - jnp.einsum(
-            "mds,ms->md", E_l, xnext
+        x = jnp.einsum("dsm,sm->dm", F_l, y_l) - jnp.einsum(
+            "dsm,sm->dm", E_l, xnext
         )
         return x, x
 
     _, xs = jax.lax.scan(
         bwd, xL, (factors.F[:-1], factors.E[:-1], y[:-1]), reverse=True
     )
-    x = jnp.concatenate([xs, xL[None]], axis=0)  # (l, m, d)
-    xc = jnp.transpose(x, (2, 0, 1)).reshape(nf, L1, ncx, ncy)
+    x = jnp.concatenate([xs, xL[None]], axis=0)  # (l, d, m)
+    xc = jnp.transpose(x, (1, 0, 2)).reshape(nf, L1, ncx, ncy)
     return jnp.real(_dft2(xc, inverse=True)).astype(rc.dtype)
 
 
