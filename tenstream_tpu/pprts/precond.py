@@ -15,9 +15,11 @@ horizontally homogeneous (layer-mean) coefficients the diffuse operator
 (I - S) is translation-invariant in (x, y), so a 2-D FFT block-
 diagonalizes it into independent (ndiff x (Nz+1)) block-tridiagonal
 systems — one per horizontal Fourier mode — with dense complex
-(ndiff x ndiff) blocks.  Those are factorized ONCE per band solve
-(block-Thomas over z, batched over modes) and each application is two
-z-scans of batched 10x10 matvecs.
+(ndiff x ndiff) blocks.  Those are factorized ONCE per band solve by
+block CYCLIC REDUCTION (log2(Nz) levels, every op batched over
+blocks x modes — see CoarseFactors for why not block-Thomas) and each
+application is a log2(Nz)-level down/up sweep of batched 10x10
+matvecs.
 
 The full preconditioner is additive on complementary subspaces:
 
@@ -48,18 +50,40 @@ from tenstream_tpu.pprts.operators import OrbitCoeff
 from tenstream_tpu.streams import StreamScheme
 
 
-class CoarseFactors(NamedTuple):
-    """Precomputed block-Thomas factorization of the per-mode coarse
-    systems.  Shapes: (Nz+1, ndiff, ndiff, nmodes) complex — the MODE
-    axis is minor-most on purpose: TPU tiles the two minor dims to
-    (8, 128), so a (..., 10, 10)-minor layout pads 20.5x (the round-4
-    regression: 88 MB of factors became 1.77 GB of HBM traffic per
-    buffer and OOM'd 256^2 at chunk=2), while (..., 10, 10, 1024) pads
-    only 1.6x and every block op is lane-parallel over the modes."""
+class CRLevel(NamedTuple):
+    """One level of the block cyclic-reduction factorization.  All
+    arrays are (nblocks, ndiff, ndiff, nmodes) complex with the MODE
+    axis minor-most: TPU tiles the two minor dims to (8, 128), so a
+    (..., 10, 10)-minor layout pads 20.5x (the round-4 regression: 88 MB
+    of factors became 1.77 GB of HBM traffic per buffer and OOM'd 256^2
+    at chunk=2), while (..., 10, 10, M) pads only 1.6x and every block
+    op is lane-parallel over the modes."""
 
-    C: jnp.ndarray  # C_l = Lo_l @ F_{l-1}   (forward elimination)
-    F: jnp.ndarray  # F_l = W_l^-1            (pivot inverses)
-    E: jnp.ndarray  # E_l = F_l @ Up_l        (back substitution)
+    F: jnp.ndarray  # (ne, ...)  D_even^-1 at this level
+    G: jnp.ndarray  # (ne, ...)  F @ Lo_even   (back substitution)
+    H: jnp.ndarray  # (ne, ...)  F @ Up_even
+    A: jnp.ndarray  # (no, ...)  Lo_odd @ F[i]    (down sweep)
+    B: jnp.ndarray  # (no, ...)  Up_odd @ F[i+1]
+
+
+class CoarseFactors(NamedTuple):
+    """Block CYCLIC-REDUCTION factorization of the per-mode coarse
+    block-tridiagonal systems.
+
+    Why cyclic reduction and not block-Thomas: Thomas forward
+    elimination is a `lax.scan` whose body holds an unrolled 10x10
+    Gauss-Jordan — measured on the chip, the SAME 25 block inverses
+    cost 16 ms batched over z but ~1270 ms inside the scan (in-loop
+    tiny-op dispatch, ~0.6 ms per op).  Cyclic reduction replaces the
+    Nz-step scan with log2(Nz) levels whose every op is batched over
+    blocks x modes — no `lax.scan` anywhere in build or apply, so the
+    build cost scales with log(Nz) dispatch instead of Nz.
+
+    The block count is padded to 2^m - 1 with decoupled identity blocks
+    (Lo = Up = 0, r = 0), which is exact."""
+
+    levels: tuple  # of CRLevel, coarsest last
+    root: jnp.ndarray  # (1, ndiff, ndiff, nmodes): inverse of the last block
 
 
 def auto_coarse_factor(nx: int, ny: int, target: int = 32) -> int:
@@ -175,8 +199,12 @@ def build_coarse_factors(
 
     def _mm(A, B):
         """Block matmul in (d, s, modes) layout: lane-parallel over the
-        minor mode axis, contraction over the tiny s index in sublanes."""
-        return jnp.einsum("...dsm,...stm->...dtm", A, B)
+        minor mode axis, contraction over the tiny s index in sublanes.
+        Written as broadcast-multiply-reduce, NOT einsum: a complex
+        batched dot_general makes XLA transpose both operands into the
+        (.., 10, 10)-minor layout (20.5x tile padding — measured 49 ms
+        per block matmul vs ~1 ms in this form)."""
+        return jnp.sum(A[..., :, :, None, :] * B[..., None, :, :, :], axis=-3)
 
     def _cinv(A, eps=1e-20):
         """Batched complex block inverse by UNROLLED Gauss-Jordan over
@@ -203,19 +231,35 @@ def build_coarse_factors(
             X = X.at[..., i, :, :].set(rowX)
         return X
 
-    F0 = _cinv(D[0])
+    # pad the block count to 2^m - 1 with decoupled identity blocks
+    Lp = 1
+    while Lp < L1:
+        Lp = 2 * Lp + 1
+    if Lp > L1:
+        pad = Lp - L1
+        eyep = jnp.broadcast_to(
+            jnp.eye(nf, dtype=D.dtype)[:, :, None], (pad, nf, nf, M)
+        )
+        zp = jnp.zeros((pad, nf, nf, M), D.dtype)
+        D = jnp.concatenate([D, eyep], axis=0)
+        Lo = jnp.concatenate([Lo, zp], axis=0)
+        Up = jnp.concatenate([Up, zp], axis=0)
 
-    def step(Fprev, inp):
-        D_l, Lo_l, Up_prev = inp
-        C_l = _mm(Lo_l, Fprev)
-        F_l = _cinv(D_l - _mm(C_l, Up_prev))
-        return F_l, (F_l, C_l)
-
-    _, (Fs, Cs) = jax.lax.scan(step, F0, (D[1:], Lo[1:], Up[:-1]))
-    F = jnp.concatenate([F0[None], Fs], axis=0)
-    C = jnp.concatenate([jnp.zeros_like(F0)[None], Cs], axis=0)
-    E = jnp.concatenate([_mm(F[:-1], Up[:-1]), jnp.zeros_like(F0)[None]], axis=0)
-    return CoarseFactors(C, F, E)
+    # cyclic reduction: eliminate EVEN positions each level (boundary
+    # blocks carry Lo[0] = Up[-1] = 0, so the formulas need no cases)
+    levels = []
+    while D.shape[0] > 1:
+        De, Do = D[0::2], D[1::2]
+        Loe, Loo = Lo[0::2], Lo[1::2]
+        Upe, Upo = Up[0::2], Up[1::2]
+        F = _cinv(De)  # (ne, ...)
+        A = _mm(Loo, F[:-1])  # odd i couples left to even i
+        B = _mm(Upo, F[1:])  # ... and right to even i+1
+        levels.append(CRLevel(F, _mm(F, Loe), _mm(F, Upe), A, B))
+        D = Do - _mm(A, Upe[:-1]) - _mm(B, Loe[1:])
+        Lo = -_mm(A, Loe[:-1])
+        Up = -_mm(B, Upe[1:])
+    return CoarseFactors(tuple(levels), _cinv(D))
 
 
 def _dft_mat(n: int, inverse: bool = False) -> jnp.ndarray:
@@ -241,37 +285,50 @@ def _dft2(rc: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _mv(A, x):
+    """Batched block matvec in (blocks, d, s, modes) x (blocks, s, modes).
+    Broadcast-multiply-reduce for the same layout reason as the build's
+    _mm: a complex dot_general would transpose into the padded
+    (.., 10, 10)-minor tiling."""
+    return jnp.sum(A * x[..., None, :, :], axis=-2)
+
+
 def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
-    """Solve the homogeneous coarse system: DFT2 -> per-mode forward/
-    backward block substitution -> iDFT2.  rc: (ndiff, Nz+1, ncx, ncy).
-    All block ops run in the (d, s, modes) mode-minor layout (see
-    CoarseFactors)."""
+    """Solve the homogeneous coarse system: DFT2 -> cyclic-reduction
+    down/up sweeps (log2(Nz) batched levels, no scans) -> iDFT2.
+    rc: (ndiff, Nz+1, ncx, ncy).  All block ops run in the
+    (blocks, d, s, modes) mode-minor layout (see CRLevel)."""
     nf, L1, ncx, ncy = rc.shape
     rh = _dft2(rc.astype(jnp.complex64))
     rh = jnp.transpose(rh.reshape(nf, L1, ncx * ncy), (1, 0, 2))  # (l, d, m)
-
-    def fwd(yprev, inp):
-        C_l, r_l = inp
-        y = r_l - jnp.einsum("dsm,sm->dm", C_l, yprev)
-        return y, y
-
-    y0 = rh[0]
-    _, ys = jax.lax.scan(fwd, y0, (factors.C[1:], rh[1:]))
-    y = jnp.concatenate([y0[None], ys], axis=0)
-
-    xL = jnp.einsum("dsm,sm->dm", factors.F[-1], y[-1])
-
-    def bwd(xnext, inp):
-        F_l, E_l, y_l = inp
-        x = jnp.einsum("dsm,sm->dm", F_l, y_l) - jnp.einsum(
-            "dsm,sm->dm", E_l, xnext
+    Lp = 1
+    while Lp < L1:
+        Lp = 2 * Lp + 1
+    if Lp > L1:
+        rh = jnp.concatenate(
+            [rh, jnp.zeros((Lp - L1,) + rh.shape[1:], rh.dtype)], axis=0
         )
-        return x, x
 
-    _, xs = jax.lax.scan(
-        bwd, xL, (factors.F[:-1], factors.E[:-1], y[:-1]), reverse=True
-    )
-    x = jnp.concatenate([xs, xL[None]], axis=0)  # (l, d, m)
+    # down sweep: fold the even rhs into the odd ones
+    r_evens = []
+    for lev in factors.levels:
+        re, ro = rh[0::2], rh[1::2]
+        r_evens.append(re)
+        rh = ro - _mv(lev.A, re[:-1]) - _mv(lev.B, re[1:])
+
+    x = _mv(factors.root, rh)  # (1, d, m)
+
+    # up sweep: recover the evens, interleave
+    for lev, re in zip(reversed(factors.levels), reversed(r_evens)):
+        zpad = jnp.zeros_like(x[:1])
+        xl = jnp.concatenate([zpad, x], axis=0)  # left odd neighbor
+        xr = jnp.concatenate([x, zpad], axis=0)  # right odd neighbor
+        xe = _mv(lev.F, re) - _mv(lev.G, xl) - _mv(lev.H, xr)
+        n = xe.shape[0] + x.shape[0]
+        out = jnp.zeros((n,) + x.shape[1:], x.dtype)
+        x = out.at[0::2].set(xe).at[1::2].set(x)
+
+    x = x[:L1]  # drop the identity padding
     xc = jnp.transpose(x, (1, 0, 2)).reshape(nf, L1, ncx, ncy)
     return jnp.real(_dft2(xc, inverse=True)).astype(rc.dtype)
 

@@ -4,7 +4,7 @@
 Times, at bench-like shapes (vmapped over a band chunk), the three
 pieces whose sum is the per-solve PC cost:
 
-  build   — `build_coarse_factors` (block-Thomas factorization of the
+  build   — `build_coarse_factors` (cyclic-reduction factorization of the
             per-Fourier-mode coarse systems; ONCE per band solve)
   apply   — one full M(r) application (pool + line solve + coarse solve)
   line    — the old vertical-line solve alone (the r3 default), for the
