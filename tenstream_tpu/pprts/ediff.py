@@ -63,10 +63,16 @@ def _make_pc(scheme, coeff, albedo2d, precond):
         if scheme.difftop.dof != 2:
             return lambda r: r
         return lambda r: vertical_line_solve(scheme, coeff, r, albedo2d)
-    if precond == "two_level":
+    if isinstance(precond, str) and precond.startswith("two_level"):
         from tenstream_tpu.pprts.precond import make_two_level_pc
 
-        return make_two_level_pc(scheme, coeff, albedo2d)
+        # "two_level" = auto coarse factor toward a 32-point coarse grid;
+        # "two_level_<N>" pins the coarse-grid target to N points (e.g.
+        # two_level_64 -> cf=4 at 256^2: finer coarse grid, fewer
+        # iterations, bigger factors)
+        tail = precond[len("two_level"):]
+        target = int(tail[1:]) if tail.startswith("_") else 32
+        return make_two_level_pc(scheme, coeff, albedo2d, coarse_target=target)
     return lambda r: r
 
 

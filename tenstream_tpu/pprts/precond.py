@@ -348,19 +348,21 @@ def unpool2d(rc: jnp.ndarray, cf: int) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(rc, cf, axis=-2), cf, axis=-1)
 
 
-def make_two_level_pc(scheme: StreamScheme, coeff, albedo2d, cf: int = 0):
+def make_two_level_pc(scheme: StreamScheme, coeff, albedo2d, cf: int = 0,
+                      coarse_target: int = 32):
     """Returns M(r): the additive two-level preconditioner closure.
 
-    cf = 0 picks `auto_coarse_factor` from the grid; the factorization
+    cf = 0 picks `auto_coarse_factor` from the grid (pooling down
+    toward a `coarse_target`-point coarse grid); the factorization
     happens at closure-build time (once per jitted solve), applications
-    are two z-scans + FFTs + one vertical-line solve.
+    are cyclic-reduction sweeps + DFTs + one vertical-line solve.
     """
     from tenstream_tpu.pprts.ediff import vertical_line_solve
 
     shp = coeff.shape  # (nf, nf, Nz, Nx, Ny)
     nx, ny = shp[-2], shp[-1]
     if cf <= 0:
-        cf = auto_coarse_factor(nx, ny)
+        cf = auto_coarse_factor(nx, ny, coarse_target)
     ncx, ncy = nx // cf, ny // cf
     factors = build_coarse_factors(scheme, coeff, albedo2d, cf, ncx, ncy)
 
