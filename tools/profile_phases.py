@@ -52,12 +52,13 @@ def main():
     from tenstream_tpu.streams import get_scheme
 
     lut = load_bench_lut()
-    # mirror bench.py's large-grid memory configuration (simplex +
-    # scan-looped gathers, orbit storage, z-slab assembly) — without it
-    # the one-shot batched assembly OOMs at 256^2
+    # mirror bench.py's shipped configuration: one-hot MXU interpolation
+    # (round-4 default — no corner-gather temps at any grid size; set
+    # PROFILE_INTERP=simplex/multilinear for the round-3 A/B rows)
     big = NX * NY >= 128 * 128
-    opp = OptProp(lut, interp_mode="simplex" if big else "multilinear",
-                  loop_gathers=big)
+    interp_mode = os.environ.get("PROFILE_INTERP", "onehot")
+    opp = OptProp(lut, interp_mode=interp_mode,
+                  loop_gathers=big and interp_mode != "onehot")
     scheme = get_scheme("3_10")
     atm, lwc = build_scene()
     nlay = atm.nlay
