@@ -590,13 +590,20 @@ def specint_pprts(
             # solve SLOWER than cold (>1700s vs 1109s), so "auto" does
             # NOT select host — it remains opt-in for locally attached
             # chips.  "auto" (default): f32 while the whole-run cache is
-            # small, bf16 while moderate, off beyond (the large-grid
-            # single-chip regime, where every solve is cold).
+            # small, bf16 while moderate; at large grids fall back to a
+            # SOLAR-ONLY bf16 cache before giving up entirely — solar
+            # chunks are the expensive ones (65-78 BiCGStab iterations
+            # per perturbed step at 256^2 vs 2-6 for thermal,
+            # docs/BENCH_256_r4.log), and one spectrum's bf16 states are
+            # 1/4 of the full-f32 footprint (4.8 GB at 256^2x128, which
+            # fits HBM next to the chunk=1 solve working set).
             cache_mode = solver.options.get("specint_cache", "auto")
             if cache_mode == "auto":
                 f32_bytes_total = 2 * ngpt * scheme.ndiff * (nzs + 1) * nx * ny * 4
                 cache_mode = ("f32" if f32_bytes_total < 1.5e9
-                              else "bf16" if f32_bytes_total < 4e9 else "off")
+                              else "bf16" if f32_bytes_total < 4e9
+                              else "bf16" if solar and f32_bytes_total < 24e9
+                              else "off")
             if cache_mode == "host":
                 # defer the device->host materialization by one chunk so
                 # the PCIe copy overlaps the next chunk's device compute
