@@ -28,6 +28,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import numpy as np
 
+from tenstream_tpu.utils.chip import (
+    RC_PROBE_FAILED,
+    Deadline,
+    Heartbeat,
+    probe_chip,
+)
+
 NX = int(os.environ.get("BENCH_NX", 64))
 NY = int(os.environ.get("BENCH_NY", 64))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 8))
@@ -140,6 +147,26 @@ def build_scene():
 
 def main():
     t_setup = time.time()
+
+    # --- unattended-run defenses (round-4 post-mortem: BENCH_r04.json
+    # rc=124 — a wedged device claim turned setup into a silent 27-min
+    # hang and the driver killed us with no number captured) ---
+    hb = Heartbeat(interval_s=float(os.environ.get("BENCH_HEARTBEAT", 30))).start()
+    hb.phase("chip-probe")
+    cpu_run = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    if not cpu_run and os.environ.get("BENCH_SKIP_PROBE") != "1":
+        if not probe_chip(
+            timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT", 180)),
+            retries=1,
+        ):
+            print("# FATAL: accelerator claim probe failed twice — the device "
+                  "state is wedged; failing fast instead of hanging the "
+                  "driver window", file=sys.stderr, flush=True)
+            sys.exit(RC_PROBE_FAILED)
+    # fire before the driver's outer timeout so the tail explains itself
+    deadline = Deadline(float(os.environ.get("BENCH_DEADLINE", 1500))).start()
+
+    hb.phase("imports")
     import jax
 
     # honor an explicit JAX_PLATFORMS request (e.g. CPU A/B diagnostics)
@@ -157,6 +184,7 @@ def main():
     from tenstream_tpu.spectral import specint_pprts
     from tenstream_tpu.spectral.ecckd import EcckdGasOptics
 
+    hb.phase("lut-load")
     lut = load_bench_lut()
     # "onehot" (round-4 default): per-layer one-hot MXU contraction —
     # full multilinear accuracy, no corner-gather temps at any grid size
@@ -168,6 +196,7 @@ def main():
     print(f"# interp_mode={interp_mode} loop_gathers={loop_gathers}", file=sys.stderr)
     opp = OptProp(lut, interp_mode=interp_mode, loop_gathers=loop_gathers)
 
+    hb.phase("scene+solver-setup")
     atm, lwc = build_scene()
     nlay = atm.nlay
     grid = Grid.create(nlay, NX, NY, 100.0, 100.0, atm.dz.astype(np.float32))
@@ -219,11 +248,13 @@ def main():
 
     print(f"# setup {time.time()-t_setup:.1f}s; grid {NX}x{NY}x{nlay}; warmup/compile...",
           file=sys.stderr)
+    hb.phase("warmup-compile")
     t0 = time.time()
     res = run()
     print(f"# warmup {time.time()-t0:.1f}s", file=sys.stderr)
 
     # cold solve: no cached band solutions (fresh scene), compile warm
+    hb.phase("cold-solve")
     solver.solutions.clear()
     t0 = time.time()
     res = run()
@@ -232,7 +263,9 @@ def main():
 
     # one untimed warm rep: the warm-start program VARIANT (x0 consumed)
     # compiles on its first use — keep that out of the timed loop
+    hb.phase("warm-variant-compile")
     run()
+    hb.phase("warm-identical-reps")
 
     # steady state: warm-started band solutions (the time-stepping regime,
     # reference solution-uid cache semantics)
@@ -251,6 +284,7 @@ def main():
     # metric (round-3 change): it cannot be satisfied by cache hits.
     # The identical-scene number stays on stderr for cross-round
     # comparability (r01/r02 JSONs reported it).
+    hb.phase("perturbed-stepping-reps")
     t_pert = []
     for k in range(max(2, REPS)):
         lwc = np.roll(lwc, 1, axis=1 + (k % 2))
@@ -264,6 +298,7 @@ def main():
         file=sys.stderr,
     )
 
+    hb.phase("diagnostics")
     edir, edn, eup, abso = map(np.asarray, res)
     assert np.isfinite(abso).all(), "non-finite absorption in bench result"
     print(
@@ -329,6 +364,8 @@ def main():
             "warm_identical_cols_per_s": round(cols_per_s, 2),
         },
     }))
+    deadline.cancel()
+    hb.stop()
 
 
 if __name__ == "__main__":

@@ -71,9 +71,22 @@ def _make_pc(scheme, coeff, albedo2d, precond):
         # two_level_64 -> cf=4 at 256^2: finer coarse grid, fewer
         # iterations, bigger factors)
         tail = precond[len("two_level"):]
-        target = int(tail[1:]) if tail.startswith("_") else 32
+        if tail == "":
+            target = 32
+        elif tail.startswith("_") and tail[1:].isdigit() and int(tail[1:]) > 0:
+            target = int(tail[1:])
+        else:
+            raise ValueError(
+                f"unknown diff_precond value {precond!r}: expected 'two_level'"
+                " or 'two_level_<positive int>' (or 'line'/'none')"
+            )
         return make_two_level_pc(scheme, coeff, albedo2d, coarse_target=target)
-    return lambda r: r
+    if precond in (False, "none"):
+        return lambda r: r
+    raise ValueError(
+        f"unknown diff_precond value {precond!r}: expected 'line', "
+        "'two_level', 'two_level_<N>', or 'none'"
+    )
 
 
 def _make_apply(scheme, coeff, albedo2d, use_pallas: bool, shape):

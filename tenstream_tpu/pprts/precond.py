@@ -49,6 +49,12 @@ import numpy as np
 from tenstream_tpu.pprts.operators import OrbitCoeff
 from tenstream_tpu.streams import StreamScheme
 
+# Debug/test hook: set to a list before an EAGER `build_coarse_factors`
+# call to record min |pivot| of every Gauss-Jordan elimination step (see
+# `_cinv`).  Leave None in production (and under jit, where the values
+# would be tracers).
+PIVOT_TRACE = None
+
 
 class CRLevel(NamedTuple):
     """One level of the block cyclic-reduction factorization.  All
@@ -214,13 +220,20 @@ def build_coarse_factors(
         padded layout; n static steps of rank-1 updates need neither.
         No pivoting: the blocks are I - T with spectral radius < 1
         (energy conservation) plus Schur updates of the same character,
-        so the running pivots stay near 1; `eps` guards exact zeros."""
+        so the running pivots stay near 1; `eps` guards exact zeros.
+        If dominance were ever violated the eps floor would mask it as
+        silent convergence degradation — `PIVOT_TRACE` (module hook, set
+        to a list during an EAGER build) records min |pivot| per
+        elimination step so tests can assert dominance holds on stressed
+        scenes (ADVICE r4)."""
         n = A.shape[-3]
         X = jnp.broadcast_to(
             jnp.eye(n, dtype=A.dtype)[:, :, None], A.shape
         ).astype(A.dtype)
         for i in range(n):
             piv = A[..., i, i, :][..., None, :]  # (..., 1, m)
+            if PIVOT_TRACE is not None:
+                PIVOT_TRACE.append(jnp.min(jnp.abs(piv)))
             den = jnp.where(jnp.abs(piv) < eps, eps, piv)
             rowA = A[..., i, :, :] / den  # (..., n, m)
             rowX = X[..., i, :, :] / den
