@@ -134,12 +134,23 @@ def _cyclic_affine_solve_sharded(A, B, axis, axis_name):
     return jnp.moveaxis(X, 0, 1 + axis)
 
 
-def _edir_core(scheme, c, incoming_top, n_inner, axis_names=None):
+def _edir_core(scheme, c, incoming_top, n_inner, axis_names=None,
+               aitken=False, cleanup=True):
     """Canonical-orientation direct solve (photons travel +x, +y, -z).
 
     With `axis_names` = (x_name, y_name) the in-layer recurrences use the
     distributed shard_map solver; otherwise the single-region
     associative scan.
+
+    `aitken` (round 5): the x<->y pair iteration is a linear fixed-point
+    map whose contraction rate degrades toward grazing sun (measured at
+    32^3, 50 m layers: rho ~ 0.01 at theta=40, 0.09 at 60, 0.55 at 80 —
+    plain n_inner=8 leaves a 2.7 W error at theta=80).  One vector Aitken
+    step (geometric extrapolation with rho estimated from the last two
+    global delta norms) recovers 1-2 orders per pass budget: ni=3+aitken
+    beats plain ni=8 at every measured angle.  `cleanup` re-solves the
+    pair once from the extrapolated iterate (consistency; worth ~10x at
+    mid angles, skippable at near-vertical sun).
     """
     nt = scheme.dirtop.dof
     ns = scheme.dirside.dof
@@ -148,10 +159,13 @@ def _edir_core(scheme, c, incoming_top, n_inner, axis_names=None):
     if axis_names is None:
         solve_x = lambda A, B: _cyclic_affine_solve(A, B, axis=0)
         solve_y = lambda A, B: _cyclic_affine_solve(A, B, axis=1)
+        gsum = jnp.sum
     else:
         xn, yn = axis_names
         solve_x = lambda A, B: _cyclic_affine_solve_sharded(A, B, 0, xn)
         solve_y = lambda A, B: _cyclic_affine_solve_sharded(A, B, 1, yn)
+        # Aitken's rho must be GLOBAL for 1-vs-N-device equality
+        gsum = lambda v: jax.lax.psum(jax.lax.psum(jnp.sum(v), xn), yn)
 
     sl_t = slice(0, nt)
     sl_x = slice(nt, nt + ns)
@@ -174,14 +188,33 @@ def _edir_core(scheme, c, incoming_top, n_inner, axis_names=None):
         bx_top = jnp.einsum("sdij,sij->dij", ctx, T_in)
         by_top = jnp.einsum("sdij,sij->dij", cty, T_in)
 
-        Y = jnp.zeros((ns,) + T_in.shape[1:], T_in.dtype)
-        X = jnp.zeros_like(Y)
-        for _ in range(n_inner):
+        def pair(X, Y):
             # X[i+1] = cxx X[i] + (top + y contributions)   along x
             bx = bx_top + jnp.einsum("sdij,sij->dij", cyx, Y)
             X = solve_x(cxx, bx)
             by = by_top + jnp.einsum("sdij,sij->dij", cxy, X)
             Y = solve_y(cyy, by)
+            return X, Y
+
+        Y = jnp.zeros((ns,) + T_in.shape[1:], T_in.dtype)
+        X = jnp.zeros_like(Y)
+        Xp, Yp = X, Y
+        for _ in range(n_inner):
+            Xpp, Ypp = Xp, Yp
+            Xp, Yp = X, Y
+            X, Y = pair(X, Y)
+
+        if aitken and n_inner >= 3:
+            dX1, dY1 = X - Xp, Y - Yp
+            dX0, dY0 = Xp - Xpp, Yp - Ypp
+            num = gsum(dX1 * dX1) + gsum(dY1 * dY1)
+            den = gsum(dX0 * dX0) + gsum(dY0 * dY0)
+            rho = jnp.minimum(jnp.sqrt(num / jnp.maximum(den, 1e-30)), 0.95)
+            f = (rho / (1.0 - rho)).astype(X.dtype)
+            X = X + f * dX1
+            Y = Y + f * dY1
+            if cleanup:
+                X, Y = pair(X, Y)
 
         T_out = (
             jnp.einsum("sdij,sij->dij", ctt, T_in)
@@ -233,7 +266,24 @@ def _uncanonicalize(scheme, edir, xinc, yinc):
     return edir
 
 
-@partial(jax.jit, static_argnames=("scheme", "xinc", "yinc", "n_inner"))
+def inner_iter_policy(theta_deg: float) -> Tuple[int, bool, bool]:
+    """(n_inner, aitken, cleanup) by static sun zenith angle.
+
+    Measured error vs a 40-pass reference (32^3, aspect 0.5, cloud,
+    field max ~400-1050 W): theta=40: 3 passes + Aitken -> 1.1e-3 W;
+    theta=60: 3+Aitken+cleanup (4 passes) -> 2.8e-2 W; theta=80:
+    6+Aitken+cleanup (7 passes) -> 0.19 W — every tier beats the old
+    fixed plain n_inner=8 (2.7 W at theta=80) with fewer passes.
+    """
+    if theta_deg < 50.0:
+        return 3, True, False
+    if theta_deg < 70.0:
+        return 3, True, True
+    return 6, True, True
+
+
+@partial(jax.jit, static_argnames=("scheme", "xinc", "yinc", "n_inner",
+                                   "aitken", "cleanup"))
 def solve_edir(
     scheme: StreamScheme,
     dir2dir: jnp.ndarray,
@@ -241,6 +291,8 @@ def solve_edir(
     xinc: int,
     yinc: int,
     n_inner: int = 8,
+    aitken: bool = False,
+    cleanup: bool = True,
 ) -> jnp.ndarray:
     """March the direct beam down through all layers.
 
@@ -248,6 +300,8 @@ def solve_edir(
       dir2dir: (ndir, ndir, Nz, Nx, Ny) [src, dst] per-cell blocks.
       incoming_top: (ntop, Nx, Ny) TOA source in [W] per top dof.
       xinc/yinc: static sun octant; 1 means photons travel toward +axis.
+      n_inner/aitken/cleanup: x<->y pair iteration budget; see
+        `inner_iter_policy` for the measured theta-tiered defaults.
 
     Returns edir: (ndir, Nz+1, Nx, Ny) [W], face-indexed (top dofs on
     z-faces; side dofs at their layer's upwind faces in canonical
@@ -255,7 +309,7 @@ def solve_edir(
     """
     assert dir2dir.shape[0] == scheme.ndir
     c, inc = _canonicalize(dir2dir, incoming_top, xinc, yinc)
-    edir = _edir_core(scheme, c, inc, n_inner)
+    edir = _edir_core(scheme, c, inc, n_inner, aitken=aitken, cleanup=cleanup)
     return _uncanonicalize(scheme, edir, xinc, yinc)
 
 
@@ -267,6 +321,8 @@ def solve_edir_sharded(
     yinc: int,
     mesh,
     n_inner: int = 8,
+    aitken: bool = False,
+    cleanup: bool = True,
 ) -> jnp.ndarray:
     """`solve_edir` over an ('x', 'y') device mesh via `shard_map`.
 
@@ -274,7 +330,8 @@ def solve_edir_sharded(
     small all-gathered (ds x ds) carry closure per solve, instead of
     GSPMD associative scans along sharded axes (round-1 design, flagged
     in ROUND1_NOTES item 2).  The octant flips stay OUTSIDE the
-    shard_map region (they are global data movements).
+    shard_map region (they are global data movements).  Aitken's rho
+    uses psum'd global norms, so 1-vs-N-device equality holds.
     """
     from jax.sharding import PartitionSpec as P
     try:
@@ -285,7 +342,8 @@ def solve_edir_sharded(
     assert dir2dir.shape[0] == scheme.ndir
     c, inc = _canonicalize(dir2dir, incoming_top, xinc, yinc)
 
-    core = partial(_edir_core, scheme, n_inner=n_inner, axis_names=("x", "y"))
+    core = partial(_edir_core, scheme, n_inner=n_inner, axis_names=("x", "y"),
+                   aitken=aitken, cleanup=cleanup)
     fn = shard_map(
         lambda cc, ii: core(cc, ii),
         mesh=mesh,

@@ -218,3 +218,195 @@ def diffuse_apply_pallas(
         interpret=interpret,
     )(xp, coeff_prepared)
     return jnp.moveaxis(out, 1, 2)  # back to (nd, Nz+1, Nx, Ny)
+
+
+
+# ---------------------------------------------------------------------------
+# Round 5: fused A-apply kernel — A(u) = u - S(u) with the gather/scatter
+# shifts, orbit contraction, surface-albedo closure, AND the BiCGStab dot
+# partials all inside one pallas_call.
+#
+# Why: the round-3/4 finding was that the standalone orbit contraction
+# kernel wins on bytes (1.47 vs 7.91 GB/apply) but LOSES in-context: the
+# pallas_call boundary stops XLA from fusing the surrounding face<->cell
+# shift ops and the Krylov vector ops, which then each re-materialize
+# ~0.3 GB fields.  Moving the shifts (static +-1 window slices + lane
+# rolls), the subtraction, the albedo row, and two reduction partials
+# INTO the kernel removes those boundary losses: per apply the kernel
+# reads u + orbit coeffs (24 channels, 4.2x below the dense field) + w
+# and writes A(u) + two scalars — the bandwidth speed-of-light for the
+# operator half of a BiCGStab iteration (VERDICT r4 item 2, the "fused
+# operator+PC+axpy/dot iteration body").
+#
+# Layout: NATURAL (nd, Z, X, Y) — no transposes.  The grid tiles
+# (z-faces, x) with 1-cell halos via element-indexed overlapping
+# windows; y rides the lanes in full (shifts are `pltpu.roll`s); x halos
+# come from a periodic-wrap pad, z halos from a zero pad (done in the
+# per-apply prep, one fused XLA pad).  Tile sizes must DIVIDE (Nz+1, Nx)
+# (`pick_tile`) so output blocks never overhang.
+# ---------------------------------------------------------------------------
+
+
+def pick_tile(n: int, cap: int) -> int:
+    """Largest divisor of n that is <= cap."""
+    for t in range(min(cap, n), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
+                    u_ref, c_ref, w_ref, alb_ref, o_ref, p1_ref, p2_ref):
+    """One (z, x) tile of A(u) = u - S(u) plus dot partials.
+
+    u_ref:   (nd, tzf+2, txs+2, ny)  faces [f0-1, f0+tzf+1) x cells
+             [x0-1, x0+txs+1), padded indexing (see prep)
+    c_ref:   (norb, tzf+1, txs+1, ny) cells [f0-1, f0+tzf) x [x0-1, x0+txs)
+    w_ref:   (nd, tzf, txs, ny) the dot partner (rhat or s)
+    alb_ref: (txs, ny) surface albedo
+    o_ref:   (nd, tzf, txs, ny) A(u)
+    p1_ref/p2_ref: (1, 1) SMEM partials: sum(w*Au), sum(Au*Au)
+    """
+    nd = len(gshift)
+    dn_list, up_list, w_list = alb_rows  # static albedo-closure metadata
+
+    j = pl.program_id(0)
+
+    # per-src cell-window values (tzf+1, txs+1, ny)
+    us_all = []
+    for s in range(nd):
+        gz, gx, gy = gshift[s]
+        us = u_ref[s, gz:gz + tzf + 1, gx:gx + txs + 1, :]
+        if gy:
+            us = pltpu.roll(us, (-gy) % ny, 2)
+        us_all.append(us)
+
+    # albedo closure (only the tile holding face Nz, local out row tzf-1):
+    # S picks up  + albedo * w_d * sum_dn(Edn[Nz])  on each up-top dof,
+    # so A(u) subtracts it.  Computed unconditionally (cheap 2-D term),
+    # zero-masked on every other tile.
+    edn_sfc = u_ref[dn_list[0], tzf, 1:1 + txs, :]  # face Nz when j == jlast
+    for d in dn_list[1:]:
+        edn_sfc = edn_sfc + u_ref[d, tzf, 1:1 + txs, :]
+
+    p1 = jnp.float32(0.0)
+    p2 = jnp.float32(0.0)
+    for d in range(nd):
+        acc = None
+        for o, ss in groups[d]:
+            ssum = us_all[ss[0]]
+            for s in ss[1:]:
+                ssum = ssum + us_all[s]
+            term = ssum * c_ref[o, 0:tzf + 1, 0:txs + 1, :].astype(ssum.dtype)
+            acc = term if acc is None else acc + term
+        cz, cx, cy = cshift[d]
+        out = acc[1 + cz:1 + cz + tzf, 1 + cx:1 + cx + txs, :]
+        if cy:
+            out = pltpu.roll(out, (-cy) % ny, 2)
+        Au = u_ref[d, 1:1 + tzf, 1:1 + txs, :] - out
+        if d in up_list:
+            wd_alb = w_list[up_list.index(d)]
+            mask = jnp.where(j == jlast, jnp.float32(wd_alb), 0.0)
+            alb_term = mask * alb_ref[:, :] * edn_sfc  # (txs, ny)
+            Au = Au.at[tzf - 1].add(-alb_term)
+        o_ref[d] = Au
+        p1 = p1 + jnp.sum(w_ref[d] * Au)
+        p2 = p2 + jnp.sum(Au * Au)
+    p1_ref[0, 0] = p1
+    p2_ref[0, 0] = p2
+
+
+def prepare_orbit_fused(orb: jnp.ndarray) -> jnp.ndarray:
+    """(norb, Nz, Nx, Ny) -> (norb, Nz+2, Nx+2, Ny): zero z-cell halos,
+    periodic-wrap x halos.  Once per solve."""
+    c = jnp.pad(orb, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    return jnp.concatenate([c[:, :, -1:], c, c[:, :, :1]], axis=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("idx_bytes", "scheme", "tzf", "txs", "interpret"),
+)
+def fused_A_dots(
+    scheme: StreamScheme,
+    idx_bytes: bytes,
+    orb_prepared: jnp.ndarray,  # from prepare_orbit_fused
+    u: jnp.ndarray,  # (nd, Nz+1, Nx, Ny)
+    w: jnp.ndarray,  # (nd, Nz+1, Nx, Ny) dot partner
+    albedo2d: jnp.ndarray,  # (Nx, Ny)
+    tzf: int = 0,
+    txs: int = 0,
+    interpret: bool = False,
+):
+    """Returns (A(u), dot(w, A(u)), dot(A(u), A(u))) in one fused pass.
+
+    Semantics EXACTLY match `x - diffuse_scatter(scheme, coeff, x,
+    albedo2d)` with orbit-stored coeffs plus jnp.vdot for the dots
+    (tests/test_pallas_ops.py, element-exact in interpret mode).
+    """
+    import numpy as np
+
+    nd, nzp1, nx, ny = u.shape
+    norb = orb_prepared.shape[0]
+    idx = np.frombuffer(idx_bytes, np.int64).reshape(nd, nd)
+    groups = []
+    for d in range(nd):
+        by_orbit = {}
+        for s in range(nd):
+            by_orbit.setdefault(int(idx[s, d]), []).append(s)
+        groups.append(tuple(sorted((o, tuple(ss)) for o, ss in by_orbit.items())))
+    groups = tuple(groups)
+    cshift, gshift = _shift_tables(scheme)
+
+    # static albedo-closure metadata: the downward top dof feeding the
+    # surface, and the up-top dofs with their hemisphere weights
+    inward = scheme.diff_inward()
+    ntop = scheme.difftop.dof
+    wtop = scheme.difftop_weights()
+    dns = tuple(d for d in range(ntop) if inward[d])
+    ups = tuple(d for d in range(ntop) if not inward[d])
+    wts = tuple(float(wtop[d]) for d in ups)
+    alb_rows = (dns, ups, wts)
+
+    if tzf <= 0:
+        tzf = pick_tile(nzp1, 8)
+    if txs <= 0:
+        txs = pick_tile(nx, 16)
+    assert nzp1 % tzf == 0 and nx % txs == 0, (nzp1, tzf, nx, txs)
+    gz, gx = nzp1 // tzf, nx // txs
+    jlast = gz - 1  # face Nz lives in the last z tile at local row tzf-1
+
+    # per-apply prep: zero z halos + periodic x halos, one fused pad
+    up_ = jnp.pad(u, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    up_ = jnp.concatenate([up_[:, :, -1:], up_, up_[:, :, :1]], axis=2)
+
+    kern = functools.partial(_fused_A_kernel, groups, cshift, gshift,
+                             alb_rows, tzf, txs, ny, jlast)
+    Au, p1, p2 = pl.pallas_call(
+        kern,
+        grid=(gz, gx),
+        in_specs=[
+            pl.BlockSpec((pl.Element(nd), pl.Element(tzf + 2),
+                          pl.Element(txs + 2), pl.Element(ny)),
+                         lambda j, i: (0, j * tzf, i * txs, 0)),
+            pl.BlockSpec((pl.Element(norb), pl.Element(tzf + 1),
+                          pl.Element(txs + 1), pl.Element(ny)),
+                         lambda j, i: (0, j * tzf, i * txs, 0)),
+            pl.BlockSpec((nd, tzf, txs, ny), lambda j, i: (0, j, i, 0)),
+            pl.BlockSpec((txs, ny), lambda j, i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((nd, tzf, txs, ny), lambda j, i: (0, j, i, 0)),
+            pl.BlockSpec((1, 1), lambda j, i: (j, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (j, i),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nd, nzp1, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((gz, gx), jnp.float32),
+            jax.ShapeDtypeStruct((gz, gx), jnp.float32),
+        ],
+        interpret=interpret,
+    )(up_, orb_prepared, w, albedo2d)
+    return Au, jnp.sum(p1), jnp.sum(p2)

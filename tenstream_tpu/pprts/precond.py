@@ -370,7 +370,7 @@ def make_two_level_pc(scheme: StreamScheme, coeff, albedo2d, cf: int = 0,
     happens at closure-build time (once per jitted solve), applications
     are cyclic-reduction sweeps + DFTs + one vertical-line solve.
     """
-    from tenstream_tpu.pprts.ediff import vertical_line_solve
+    from tenstream_tpu.pprts.ediff import make_line_pc
 
     shp = coeff.shape  # (nf, nf, Nz, Nx, Ny)
     nx, ny = shp[-2], shp[-1]
@@ -379,15 +379,15 @@ def make_two_level_pc(scheme: StreamScheme, coeff, albedo2d, cf: int = 0,
     ncx, ncy = nx // cf, ny // cf
     factors = build_coarse_factors(scheme, coeff, albedo2d, cf, ncx, ncy)
 
-    # the line solve assumes a single up/down difftop pair; 3_16/3_24
-    # (8 top dofs) get the coarse solve with identity on the high-pass
-    has_line = scheme.difftop.dof == 2
+    # the line solve assumes a single up/down difftop pair (identity for
+    # 3_16/3_24's 8 top dofs); factored ONCE here — the apply is two
+    # log-depth affine scans (round 5, see `make_line_pc`)
+    line = make_line_pc(scheme, coeff, albedo2d)
 
     def M(r):
         rc = pool2d(r, cf)
         r_hi = r - unpool2d(rc, cf)
-        z_hi = (vertical_line_solve(scheme, coeff, r_hi, albedo2d)
-                if has_line else r_hi)
+        z_hi = line(r_hi)
         z_lo = unpool2d(coarse_solve(factors, rc), cf)
         return z_hi + z_lo
 

@@ -93,3 +93,37 @@ def test_bicgstab_pallas_orbit_path():
                                    use_pallas=True)
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name,tzf,txs", [("3_10", 0, 0), ("3_10", 1, 2),
+                                          ("8_18", 0, 0), ("1_2", 7, 4)])
+def test_fused_A_dots_matches_xla(name, tzf, txs):
+    """Round-5 fused A-apply: A(u) = u - S(u) (orbit coeffs + albedo
+    closure) and both dot partials must match the XLA path element-exact
+    (same-f32-ops tolerance) in interpret mode."""
+    from tenstream_tpu.pprts.operators import OrbitCoeff, diffuse_scatter
+    from tenstream_tpu.pprts.pallas_ops import fused_A_dots, prepare_orbit_fused
+
+    s = get_scheme(name)
+    nd = s.ndiff
+    nz, nx, ny = 6, 8, 16
+    rng = np.random.default_rng(3)
+    norb = max(4, nd)
+    idx = rng.integers(0, norb, (nd, nd))
+    orb = jnp.asarray(rng.random((norb, nz, nx, ny)) * 0.1, jnp.float32)
+    coeff = OrbitCoeff(orb, idx)
+    u = jnp.asarray(rng.random((nd, nz + 1, nx, ny)), jnp.float32)
+    w = jnp.asarray(rng.random((nd, nz + 1, nx, ny)), jnp.float32)
+    alb = jnp.asarray(rng.random((nx, ny)) * 0.8, jnp.float32)
+
+    ref = u - diffuse_scatter(s, coeff, u, alb)
+    p1_ref = float(jnp.vdot(w, ref))
+    p2_ref = float(jnp.vdot(ref, ref))
+
+    Au, p1, p2 = fused_A_dots(
+        s, coeff.idx.tobytes(), prepare_orbit_fused(orb), u, w, alb,
+        tzf=tzf, txs=txs, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(Au), np.asarray(ref), atol=3e-6)
+    np.testing.assert_allclose(float(p1), p1_ref, rtol=2e-5)
+    np.testing.assert_allclose(float(p2), p2_ref, rtol=2e-5)
