@@ -135,9 +135,18 @@ def main():
     t_asm, (coeffs, edd) = timeit(lambda a, b, c: assemble(a, b, c), kabs, ksca, g)
 
     inc = jnp.full((1, NX, NY), 1000.0 * grid.az, ireals)
-    edirfn = jax.jit(lambda dd, i: solve_edir(scheme, dd, i, sun.xinc, sun.yinc))
+    # shipped round-5 edir config: theta-tiered pass count + Aitken
+    from tenstream_tpu.pprts.edir import inner_iter_policy
+
+    ni, ait, cl = inner_iter_policy(sun.theta)
+    edirfn = jax.jit(lambda dd, i: solve_edir(
+        scheme, dd, i, sun.xinc, sun.yinc, n_inner=ni, aitken=ait, cleanup=cl))
     edir_cost = cost_of(edirfn, coeffs.dir2dir, inc)
     t_edir, edir = timeit(edirfn, coeffs.dir2dir, inc)
+    # A/B: the old fixed plain-8 iteration (rounds 1-4 default)
+    edirfn8 = jax.jit(lambda dd, i: solve_edir(
+        scheme, dd, i, sun.xinc, sun.yinc, n_inner=8))
+    t_edir8, _ = timeit(edirfn8, coeffs.dir2dir, inc)
 
     srcfn = jax.jit(lambda df, e, a: dir2diff_source(scheme, df, e, sun.xinc, sun.yinc)
                     + direct_surface_reflection(scheme, e, a))
@@ -168,32 +177,41 @@ def main():
     opfn = jax.jit(lambda cc, xx: diffuse_scatter(scheme, cc, xx, albedo2d))
     op_cost = cost_of(opfn, coeffs.diff2diff, x)
     t_op, _ = timeit(opfn, coeffs.diff2diff, x, reps=20)
+    # old fused-scan line solve (refactorizes per apply; rounds 1-4)
     pcfn = jax.jit(lambda cc, rr: vertical_line_solve(scheme, cc, rr, albedo2d))
     pc_cost = cost_of(pcfn, coeffs.diff2diff, x)
     t_pc, _ = timeit(pcfn, coeffs.diff2diff, x, reps=20)
+    # shipped round-5 factored line PC: build once, apply = 2 assoc
+    # scans.  Factors must not ride as jit-closure constants (413 on
+    # tunneled remote-compile), so separate build from apply by
+    # difference-timing build+1 apply vs build+2 applies.
+    from tenstream_tpu.pprts.ediff import make_line_pc
+
+    line_b1 = jax.jit(lambda cc, rr: make_line_pc(scheme, cc, albedo2d)(rr))
+    line_b2 = jax.jit(lambda cc, rr, r2: (
+        lambda M: M(rr) + M(r2))(make_line_pc(scheme, cc, albedo2d)))
+    t_lb1, _ = timeit(line_b1, coeffs.diff2diff, x, reps=10)
+    t_lb2, _ = timeit(line_b2, coeffs.diff2diff, x, 2.0 * x, reps=10)
+    t_line = max(t_lb2 - t_lb1, 0.0)          # apply-only
+    t_line_bld = max(t_lb1 - t_line, 0.0)     # factorization-only
     # the shipped two-level PC: factorization ONCE per solve (timed
     # separately), application per iteration.  Factors ride as call
     # ARGUMENTS (closure constants 413 on tunneled remote-compile).
-    from tenstream_tpu.pprts.precond import (
-        auto_coarse_factor,
-        build_coarse_factors,
-        coarse_solve,
-        pool2d,
-        unpool2d,
-    )
+    from tenstream_tpu.pprts.precond import auto_coarse_factor
 
     cf = auto_coarse_factor(NX, NY)
-    bld = jax.jit(lambda cc, aa: build_coarse_factors(
-        scheme, cc, aa, cf, NX // cf, NY // cf))
-    t_pc2_bld, factors = timeit(bld, coeffs.diff2diff, albedo2d, reps=3)
+    # SHIPPED two-level PC (round 5: factored line inside) — build vs
+    # apply separated by difference timing (no factor closure constants)
+    from tenstream_tpu.pprts.precond import make_two_level_pc
 
-    def apply2(fc, cc, rr):
-        rc = pool2d(rr, cf)
-        z_hi = vertical_line_solve(scheme, cc, rr - unpool2d(rc, cf), albedo2d)
-        return z_hi + unpool2d(coarse_solve(fc, rc), cf)
-
-    pc2 = jax.jit(apply2)
-    t_pc2, _ = timeit(pc2, factors, coeffs.diff2diff, x, reps=20)
+    pc2_b1 = jax.jit(lambda cc, aa, rr: make_two_level_pc(
+        scheme, cc, aa, cf=cf)(rr))
+    pc2_b2 = jax.jit(lambda cc, aa, rr, r2: (
+        lambda M: M(rr) + M(r2))(make_two_level_pc(scheme, cc, aa, cf=cf)))
+    t_p1, _ = timeit(pc2_b1, coeffs.diff2diff, albedo2d, x, reps=5)
+    t_p2, _ = timeit(pc2_b2, coeffs.diff2diff, albedo2d, x, 2.0 * x, reps=5)
+    t_pc2 = max(t_p2 - t_p1, 0.0)
+    t_pc2_bld = max(t_p1 - t_pc2, 0.0)
 
     # A/B: the orbit-channel Pallas kernel (jit-wrapped so the
     # pad/transpose prep is amortizable; cost model unavailable for
@@ -213,6 +231,37 @@ def main():
             t_op_pl, _ = timeit(apl, coeffs.diff2diff.orb, x, reps=20)
         except Exception as e:
             print(f"# pallas orbit kernel skipped: {e!r}", file=sys.stderr)
+
+    # round-5 fused A-apply kernel (operator + shifts + albedo + dots in
+    # one pallas_call) standalone, and the full BiCGStab solve with it
+    # in-context — the keep-or-kill A/B for verdict item 2
+    t_fused = None
+    t_ediff_pl_cold = t_ediff_pl_warm = None
+    nit_pl = 0
+    if isinstance(coeffs.diff2diff, OrbitCoeff):
+        try:
+            from tenstream_tpu.pprts.pallas_ops import (
+                fused_A_dots,
+                prepare_orbit_fused,
+            )
+
+            idxb = coeffs.diff2diff.idx.tobytes()
+            fAD = jax.jit(lambda co, uu, ww: fused_A_dots(
+                scheme, idxb, prepare_orbit_fused(co), uu, ww, albedo2d))
+            t_fused, _ = timeit(fAD, coeffs.diff2diff.orb, x, b, reps=20)
+
+            t_ediff_pl_cold, (x_pl, nit_pl, _res) = timeit(
+                lambda bb: solve_bicgstab(
+                    scheme, coeffs.diff2diff, bb, albedo2d, x0=x0,
+                    maxiter=3000, precond=precond, use_pallas=True),
+                b, reps=3)
+            t_ediff_pl_warm, _ = timeit(
+                lambda bb: solve_bicgstab(
+                    scheme, coeffs.diff2diff, bb, albedo2d, x0=x_pl,
+                    maxiter=3000, precond=precond, use_pallas=True),
+                b, reps=3)
+        except Exception as e:
+            print(f"# fused A kernel skipped: {e!r}", file=sys.stderr)
 
     a11, a12 = edd[0], edd[1]
     # must be jitted: eager mode pays the per-op dispatch latency of the
@@ -251,9 +300,14 @@ def main():
             print(f"| {name} | {t*1e3:.1f} | {sh} | — | — | — | — | — | — |")
 
     row("coeff assembly", t_asm, asm_cost, t_asm / total)
-    row("edir scan", t_edir, edir_cost, t_edir / total)
+    row(f"edir scan (SHIPPED: ni={ni} aitken={ait} cleanup={cl})",
+        t_edir, edir_cost, t_edir / total)
+    row("edir scan (r4 fixed plain-8 A/B)", t_edir8, (0, 0))
     row("sources", t_src, src_cost, t_src / total)
     row(f"ediff BiCGStab cold (niter={int(nit)})", t_ediff_cold, (0, 0), t_ediff_cold / total)
+    if t_ediff_pl_cold is not None:
+        row(f"ediff BiCGStab cold, FUSED kernel (niter={int(nit_pl)})",
+            t_ediff_pl_cold, (0, 0))
     row("absorption", t_abs, abs_cost, t_abs / total)
     row("— diffuse operator apply S(x)", t_op, op_cost)
     if t_op_pl is not None:
@@ -262,10 +316,20 @@ def main():
         norb = coeffs.diff2diff.orb.shape[0]
         gb_pl = (10 * (nlay + 1) * 2 + norb * nlay) * NX * NY * 4 / 1e9
         row("— S(x) via orbit Pallas kernel", t_op_pl, (op_cost[0], gb_pl))
-    row("— line preconditioner solve", t_pc, pc_cost)
+    if t_fused is not None:
+        norb = coeffs.diff2diff.orb.shape[0]
+        gb_f = (10 * (nlay + 1) * 3 + norb * nlay) * NX * NY * 4 / 1e9
+        row("— fused A(u)+dots kernel (incl. per-call prep)", t_fused,
+            (op_cost[0], gb_f))
+    row("— line solve (r4 fused-scan A/B)", t_pc, pc_cost)
+    row("— line PC apply (SHIPPED factored)", t_line, (0, 0))
+    row("— line PC factorization (1x/solve)", t_line_bld, (0, 0))
     row("— two-level PC apply (line + coarse)", t_pc2, (0, 0))
     row(f"— two-level PC factorization (1x/solve, cf={cf})", t_pc2_bld, (0, 0))
     print(f"| ediff warm-start rerun | {t_ediff_warm*1e3:.1f} | — | | | | | | |")
+    if t_ediff_pl_warm is not None:
+        print(f"| ediff warm rerun, FUSED kernel | {t_ediff_pl_warm*1e3:.1f} "
+              "| — | | | | | | |")
     print(f"| total (cold, 1 gpt) | {total*1e3:.1f} | 100% | | | | | | |")
     print()
     ideal = 2 * (t_op + t_pc2) * int(nit)
@@ -274,6 +338,9 @@ def main():
           f"the remainder is axpy/dot vector traffic "
           f"(~{max(t_ediff_cold-ideal,0)/max(int(nit),1)*1e3:.2f} ms/iter over "
           f"{state_gb*1e3:.0f} MB state vectors)")
+    print(f"# per-iter: XLA {t_ediff_cold/max(int(nit),1)*1e3:.1f} ms"
+          + (f"; FUSED {t_ediff_pl_cold/max(int(nit_pl),1)*1e3:.1f} ms"
+             if t_ediff_pl_cold is not None else ""))
 
 
 if __name__ == "__main__":
