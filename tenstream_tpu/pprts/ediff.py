@@ -487,15 +487,37 @@ def solve_bicgstab(
     stall_limit = 30
     restart_every = 10
 
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - A(x)
+    def dot(u, v):
+        return jnp.vdot(u.ravel(), v.ravel())
+
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        # Optimal-scale seeding (round 5): replace x0 by alpha*x0 with
+        # alpha = <A x0, b> / <A x0, A x0> — the 1-D least-squares
+        # minimizer of |b - A(alpha x0)|.  Reuses the SAME operator
+        # apply that r0 needs (A is linear), so it costs two dot
+        # products and makes any seed amplitude-self-correcting: an
+        # identical warm re-solve gets alpha == 1 exactly, and a
+        # cross-band seed with the wrong magnitude (the round-3
+        # "measured net-negative" cross-band experiment) is rescaled to
+        # its best multiple instead of burning iterations undoing it.
+        x = x0
+        if fused_AD is not None:
+            Ax, num, den = fused_AD(x, b)
+        else:
+            Ax = A(x)
+            den = dot(Ax, Ax)
+            num = dot(Ax, b)
+        alpha0 = jnp.where(den > eps, num / _safe(den, eps),
+                           jnp.asarray(1.0, dtype))
+        x = alpha0 * x
+        r = b - alpha0 * Ax
     rhat = r
     bnorm = jnp.linalg.norm(b.ravel())
     tol = jnp.maximum(rtol * bnorm, atol)
     res0 = jnp.linalg.norm(r.ravel())
-
-    def dot(u, v):
-        return jnp.vdot(u.ravel(), v.ravel())
 
     def cond(state):
         # the residual norm is CARRIED (computed once per iteration in
