@@ -64,13 +64,17 @@ def _make_pc(scheme, coeff, albedo2d, precond):
     if isinstance(precond, str) and precond.startswith("two_level"):
         from tenstream_tpu.pprts.precond import make_two_level_pc
 
-        # "two_level" = auto coarse factor toward a 32-point coarse grid;
-        # "two_level_<N>" pins the coarse-grid target to N points (e.g.
-        # two_level_64 -> cf=4 at 256^2: finer coarse grid, fewer
-        # iterations, bigger factors)
+        # "two_level" = auto coarse-grid target: 64 points at BASELINE-
+        # scale grids, 32 below.  Measured 256^2x127 A/B (docs/
+        # BENCH_256_r5.log B vs D, same code/cache): the 64^2 coarse grid
+        # (cf=4) cuts the hardest solar chunks from 70-89 to <= 27
+        # BiCGStab iterations and the perturbed headline 428.7 -> 527.1
+        # cols/s; the bigger per-band factorization is repaid ~3x.
+        # "two_level_<N>" pins the target explicitly.
         tail = precond[len("two_level"):]
         if tail == "":
-            target = 32
+            nxy = max(coeff.shape[-2], coeff.shape[-1])
+            target = 64 if nxy >= 256 else 32
         elif tail.startswith("_") and tail[1:].isdigit() and int(tail[1:]) > 0:
             target = int(tail[1:])
         else:
