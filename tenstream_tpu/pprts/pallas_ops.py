@@ -371,7 +371,10 @@ def fused_A_dots(
     if tzf <= 0:
         tzf = pick_tile(nzp1, 8)
     if txs <= 0:
-        txs = pick_tile(nx, 16)
+        # cap 8: at 256^2x113 (tzf=6) the per-block VMEM is ~3.4 MB
+        # (x2 pipelining = 6.8 MB of the 16 MB core budget); txs=16
+        # would double-buffer to ~12.7 MB — too close to the ceiling
+        txs = pick_tile(nx, 8)
     assert nzp1 % tzf == 0 and nx % txs == 0, (nzp1, tzf, nx, txs)
     gz, gx = nzp1 // tzf, nx // txs
     jlast = gz - 1  # face Nz lives in the last z tile at local row tzf-1

@@ -23,11 +23,11 @@ run() {
 echo "== round-5 256^2 session 2 start $(date -u) ==" >> "$LOG"
 # A2: same code as B, only the cache knob differs -> isolates the
 # solar-bf16 tier (ADVICE r4); precond pinned to the session-1 default
-run A2 BENCH_CHUNK=1 BENCH_SPECINT_CACHE=auto BENCH_PRECOND=two_level
-# P: fused A-apply kernel on top of the best-known config (cf=4, cache off)
-run P BENCH_CHUNK=1 BENCH_PALLAS=1 BENCH_SPECINT_CACHE=off BENCH_PRECOND=two_level_64
-# F: one step finer coarse grid than D
-run F BENCH_CHUNK=1 BENCH_SPECINT_CACHE=off BENCH_PRECOND=two_level_128
+run A2 BENCH_CHUNK=1 BENCH_SPECINT_CACHE=auto BENCH_PRECOND=two_level_32
+# P: vs D isolates the fused A-apply kernel (same cf=4 + auto cache)
+run P BENCH_CHUNK=1 BENCH_PALLAS=1 BENCH_SPECINT_CACHE=auto BENCH_PRECOND=two_level_64
+# F: vs D isolates one-step-finer coarse grid (128^2, cf=2)
+run F BENCH_CHUNK=1 BENCH_SPECINT_CACHE=auto BENCH_PRECOND=two_level_128
 
 echo "== profile_phases 256^2 $(date -u) ==" >> "$LOG"
 env BENCH_NX=256 BENCH_NY=256 BENCH_NZLOW=112 BENCH_DZLOW=50 \
