@@ -745,11 +745,13 @@ def create_production_lut(
     key = jax.random.PRNGKey(20260817)
     ck = (lambda name: os.path.join(checkpoint_dir, name) if checkpoint_dir else None)
 
-    if not supports_scheme(scheme):
-        raise ValueError(
-            f"create_production_lut currently covers face-classified cube "
-            f"schemes (closed-form dir2dir); {scheme} is not one"
-        )
+    # Schemes with sub-face-resolved direct streams (8_10/8_16/8_18:
+    # the top face splits 2x2) have no closed-form dir2dir yet; for
+    # them the adaptive MC converges the T columns too (the reference's
+    # own approach for ALL schemes, `src/optprop_LUT.F90:591`) and the
+    # MC T fills dir2dir.  meta["dir2dir_source"] records which path
+    # produced the table.
+    have_closed_form = supports_scheme(scheme)
 
     meta: dict = {"scheme": scheme, "stddev_atol": stddev_atol, "stddev_rtol": stddev_rtol}
 
@@ -793,19 +795,24 @@ def create_production_lut(
     dir_entries = _entry_grid(lo_axes, True)
 
     dir2diff = np.zeros(dshape + (box.ndir, box.ndiff), np.float32)
+    dir2dir_mc = (None if have_closed_form
+                  else np.zeros(dshape + (box.ndir, box.ndir), np.float32))
     sems = []
     rounds_all = []
     for src in range(box.ndir):
-        _, S, rounds, sem = _trace_adaptive(
+        T, S, rounds, sem = _trace_adaptive(
             scheme, dir_entries, src, True, key,
             stddev_atol=dir_stddev_atol, stddev_rtol=stddev_rtol,
             round_photons=round_photons, max_rounds=dir_max_rounds,
             use_pallas=use_pallas, verbose=verbose, max_iter=max_iter,
-            conv_cols=slice(box.ndir, None),  # T columns are analytic
+            # with a closed-form T only the S columns gate convergence
+            conv_cols=(slice(box.ndir, None) if have_closed_form else None),
             checkpoint_path=ck(f"dir_src{src}.npz"),
         )
         dir2diff[:, :, :, :, :nphi_lo, :, src, :] = S.reshape(lo_shape + (box.ndiff,))
-        sems.append(sem[:, box.ndir:])
+        if dir2dir_mc is not None:
+            dir2dir_mc[:, :, :, :, :nphi_lo, :, src, :] = T.reshape(lo_shape + (box.ndir,))
+        sems.append(sem[:, box.ndir:] if have_closed_form else sem)
         rounds_all.append(rounds)
     if phi_sym and nphi_lo < nphi:
         # mirror-fill phi > 45: phi -> 90-phi pairs with the x<->y
@@ -816,17 +823,25 @@ def create_production_lut(
         for i in range(nphi_lo, nphi):
             j = nphi - 1 - i
             dir2diff[:, :, :, :, i] = dir2diff[:, :, :, :, j][..., pd, :][..., :, pf]
+            if dir2dir_mc is not None:
+                dir2dir_mc[:, :, :, :, i] = (
+                    dir2dir_mc[:, :, :, :, j][..., pd, :][..., :, pd]
+                )
     sems = np.concatenate(sems, 0)
     rounds_cat = np.concatenate(rounds_all, 0)
     meta["dir_sem_max"] = float(sems.max())
     meta["dir_sem_median"] = float(np.median(sems))
     meta["dir_rounds_mean"] = float(rounds_cat.mean())
     meta["dir_photons_total"] = float(rounds_cat.sum() * round_photons)
+    meta["dir2dir_source"] = "closed_form" if have_closed_form else "mc"
 
-    dd = dir2dir_table(scheme, dir_axes.tau, dir_axes.aspect, dir_axes.phi, dir_axes.theta)
-    dir2dir = np.broadcast_to(
-        dd[:, None, :, None], dshape + (box.ndir, box.ndir)
-    ).copy()
+    if have_closed_form:
+        dd = dir2dir_table(scheme, dir_axes.tau, dir_axes.aspect, dir_axes.phi, dir_axes.theta)
+        dir2dir = np.broadcast_to(
+            dd[:, None, :, None], dshape + (box.ndir, box.ndir)
+        ).copy()
+    else:
+        dir2dir = dir2dir_mc
 
     dir2dir, dir2diff, diff2diff = symmetrize_tables(
         scheme, dir2dir, dir2diff, diff2diff, np.asarray(dir_axes.phi)

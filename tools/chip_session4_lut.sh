@@ -14,7 +14,7 @@ LOG=docs/LUT_8_10_r5.log
 
 echo "== 8_10 production table $(date -u) ==" >> "$LOG"
 timeout 5400 python tools/create_lut.py 8_10 --preset production \
-  --max-rounds "${LUT_MAX_ROUNDS:-3}" --dir-max-rounds "${LUT_DIR_MAX_ROUNDS:-2}" \
+  --max-rounds "${LUT_MAX_ROUNDS:-8}" --dir-max-rounds "${LUT_DIR_MAX_ROUNDS:-4}" \
   >> "$LOG" 2>&1
 echo "== create_lut rc=$? $(date -u) ==" >> "$LOG"
 
