@@ -600,9 +600,16 @@ def specint_pprts(
             cache_mode = solver.options.get("specint_cache", "auto")
             if cache_mode == "auto":
                 f32_bytes_total = 2 * ngpt * scheme.ndiff * (nzs + 1) * nx * ny * 4
+                # NO large-grid solar-bf16 tier: measured at 256^2x127
+                # (docs/BENCH_256_r5.log A2 vs B, same code, only this
+                # knob) the tier is a net NEGATIVE — 393.8 vs 428.7
+                # cols/s perturbed — the bf16-quantized warm starts
+                # re-burn iterations and the cache writes cost on top
+                # (the same mechanism measured at 64^2 in round 3:
+                # 651 vs 1435 cols/s).  Above the bf16 threshold the
+                # cache is OFF.
                 cache_mode = ("f32" if f32_bytes_total < 1.5e9
                               else "bf16" if f32_bytes_total < 4e9
-                              else "bf16" if solar and f32_bytes_total < 24e9
                               else "off")
             if cache_mode == "host":
                 # defer the device->host materialization by one chunk so
