@@ -221,6 +221,7 @@ def diffuse_apply_pallas(
 
 
 
+
 # ---------------------------------------------------------------------------
 # Round 5: fused A-apply kernel — A(u) = u - S(u) with the gather/scatter
 # shifts, orbit contraction, surface-albedo closure, AND the BiCGStab dot
@@ -238,12 +239,17 @@ def diffuse_apply_pallas(
 # operator half of a BiCGStab iteration (VERDICT r4 item 2, the "fused
 # operator+PC+axpy/dot iteration body").
 #
-# Layout: NATURAL (nd, Z, X, Y) — no transposes.  The grid tiles
-# (z-faces, x) with 1-cell halos via element-indexed overlapping
-# windows; y rides the lanes in full (shifts are `pltpu.roll`s); x halos
-# come from a periodic-wrap pad, z halos from a zero pad (done in the
-# per-apply prep, one fused XLA pad).  Tile sizes must DIVIDE (Nz+1, Nx)
-# (`pick_tile`) so output blocks never overhang.
+# Layout: (Z, X, dof, Y).  Mosaic constrains a block's LAST TWO dims to
+# be divisible by (8, 128) or equal to the full array dims — halo
+# windows (tz+2, tx+2) can never satisfy that, so the windowed z/x dims
+# ride the third/fourth-minor positions and the constrained last two
+# carry (dof, Y) in FULL.  (The first fused-kernel attempt used the
+# natural (dof, Z, X, Y) order and failed exactly that check on chip —
+# interpret mode does not enforce it.)  The dof sublane dim pads 10->16
+# for the flux fields (the 24 orbit channels tile exactly); the padding
+# waste is bounded and the kernel still moves ~4x fewer bytes than the
+# XLA path.  Transposes into this layout ride the per-apply pad (u) and
+# the output moveaxis; the orbit field is prepared once per solve.
 # ---------------------------------------------------------------------------
 
 
@@ -259,12 +265,12 @@ def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
                     u_ref, c_ref, w_ref, alb_ref, o_ref, p1_ref, p2_ref):
     """One (z, x) tile of A(u) = u - S(u) plus dot partials.
 
-    u_ref:   (nd, tzf+2, txs+2, ny)  faces [f0-1, f0+tzf+1) x cells
-             [x0-1, x0+txs+1), padded indexing (see prep)
-    c_ref:   (norb, tzf+1, txs+1, ny) cells [f0-1, f0+tzf) x [x0-1, x0+txs)
-    w_ref:   (nd, tzf, txs, ny) the dot partner (rhat or s)
-    alb_ref: (txs, ny) surface albedo
-    o_ref:   (nd, tzf, txs, ny) A(u)
+    u_ref:   (tzf+2, txs+2, nd, ny)  padded faces [f0-1, f0+tzf+1) x
+             padded cells [x0-1, x0+txs+1)
+    c_ref:   (tzf+1, txs+1, norb, ny) cells [f0-1, f0+tzf) x [x0-1, x0+txs)
+    w_ref:   (tzf, txs, nd, ny) the dot partner (rhat or s)
+    alb_ref: (txs, 1, ny) surface albedo
+    o_ref:   (tzf, txs, nd, ny) A(u)
     p1_ref/p2_ref: (1, 1) SMEM partials: sum(w*Au), sum(Au*Au)
     """
     nd = len(gshift)
@@ -276,7 +282,7 @@ def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
     us_all = []
     for s in range(nd):
         gz, gx, gy = gshift[s]
-        us = u_ref[s, gz:gz + tzf + 1, gx:gx + txs + 1, :]
+        us = u_ref[gz:gz + tzf + 1, gx:gx + txs + 1, s, :]
         if gy:
             us = pltpu.roll(us, (-gy) % ny, 2)
         us_all.append(us)
@@ -285,9 +291,9 @@ def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
     # S picks up  + albedo * w_d * sum_dn(Edn[Nz])  on each up-top dof,
     # so A(u) subtracts it.  Computed unconditionally (cheap 2-D term),
     # zero-masked on every other tile.
-    edn_sfc = u_ref[dn_list[0], tzf, 1:1 + txs, :]  # face Nz when j == jlast
+    edn_sfc = u_ref[tzf, 1:1 + txs, dn_list[0], :]  # face Nz when j == jlast
     for d in dn_list[1:]:
-        edn_sfc = edn_sfc + u_ref[d, tzf, 1:1 + txs, :]
+        edn_sfc = edn_sfc + u_ref[tzf, 1:1 + txs, d, :]
 
     p1 = jnp.float32(0.0)
     p2 = jnp.float32(0.0)
@@ -297,30 +303,32 @@ def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
             ssum = us_all[ss[0]]
             for s in ss[1:]:
                 ssum = ssum + us_all[s]
-            term = ssum * c_ref[o, 0:tzf + 1, 0:txs + 1, :].astype(ssum.dtype)
+            term = ssum * c_ref[0:tzf + 1, 0:txs + 1, o, :].astype(ssum.dtype)
             acc = term if acc is None else acc + term
         cz, cx, cy = cshift[d]
         out = acc[1 + cz:1 + cz + tzf, 1 + cx:1 + cx + txs, :]
         if cy:
             out = pltpu.roll(out, (-cy) % ny, 2)
-        Au = u_ref[d, 1:1 + tzf, 1:1 + txs, :] - out
+        Au = u_ref[1:1 + tzf, 1:1 + txs, d, :] - out
         if d in up_list:
             wd_alb = w_list[up_list.index(d)]
             mask = jnp.where(j == jlast, jnp.float32(wd_alb), 0.0)
-            alb_term = mask * alb_ref[:, :] * edn_sfc  # (txs, ny)
+            alb_term = mask * alb_ref[:, 0, :] * edn_sfc  # (txs, ny)
             Au = Au.at[tzf - 1].add(-alb_term)
-        o_ref[d] = Au
-        p1 = p1 + jnp.sum(w_ref[d] * Au)
+        o_ref[:, :, d, :] = Au
+        p1 = p1 + jnp.sum(w_ref[:, :, d, :] * Au)
         p2 = p2 + jnp.sum(Au * Au)
     p1_ref[0, 0] = p1
     p2_ref[0, 0] = p2
 
 
 def prepare_orbit_fused(orb: jnp.ndarray) -> jnp.ndarray:
-    """(norb, Nz, Nx, Ny) -> (norb, Nz+2, Nx+2, Ny): zero z-cell halos,
-    periodic-wrap x halos.  Once per solve."""
-    c = jnp.pad(orb, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    return jnp.concatenate([c[:, :, -1:], c, c[:, :, :1]], axis=2)
+    """(norb, Nz, Nx, Ny) -> (Nz+2, Nx+2, norb, Ny): channel-third
+    kernel layout with zero z-cell halos and periodic-wrap x halos.
+    Once per solve."""
+    c = jnp.moveaxis(orb, 0, 2)  # (Nz, Nx, norb, Ny)
+    c = jnp.pad(c, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    return jnp.concatenate([c[:, -1:], c, c[:, :1]], axis=1)
 
 
 @functools.partial(
@@ -347,7 +355,7 @@ def fused_A_dots(
     import numpy as np
 
     nd, nzp1, nx, ny = u.shape
-    norb = orb_prepared.shape[0]
+    norb = orb_prepared.shape[2]
     idx = np.frombuffer(idx_bytes, np.int64).reshape(nd, nd)
     groups = []
     for d in range(nd):
@@ -358,7 +366,7 @@ def fused_A_dots(
     groups = tuple(groups)
     cshift, gshift = _shift_tables(scheme)
 
-    # static albedo-closure metadata: the downward top dof feeding the
+    # static albedo-closure metadata: the downward top dofs feeding the
     # surface, and the up-top dofs with their hemisphere weights
     inward = scheme.diff_inward()
     ntop = scheme.difftop.dof
@@ -371,17 +379,19 @@ def fused_A_dots(
     if tzf <= 0:
         tzf = pick_tile(nzp1, 8)
     if txs <= 0:
-        # cap 8: at 256^2x113 (tzf=6) the per-block VMEM is ~3.4 MB
-        # (x2 pipelining = 6.8 MB of the 16 MB core budget); txs=16
-        # would double-buffer to ~12.7 MB — too close to the ceiling
         txs = pick_tile(nx, 8)
     assert nzp1 % tzf == 0 and nx % txs == 0, (nzp1, tzf, nx, txs)
     gz, gx = nzp1 // tzf, nx // txs
     jlast = gz - 1  # face Nz lives in the last z tile at local row tzf-1
 
-    # per-apply prep: zero z halos + periodic x halos, one fused pad
-    up_ = jnp.pad(u, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    up_ = jnp.concatenate([up_[:, :, -1:], up_, up_[:, :, :1]], axis=2)
+    # per-apply prep: channel-third layout + zero z halos + periodic x
+    # halos (one fused transpose+pad); w transposes without halos
+    up_ = jnp.moveaxis(u, 0, 2)  # (Nz+1, Nx, nd, Ny)
+    up_ = jnp.pad(up_, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    up_ = jnp.concatenate([up_[:, -1:], up_, up_[:, :1]], axis=1)
+    wt_ = jnp.moveaxis(w, 0, 2)
+    alb3 = albedo2d[:, None, :]  # (Nx, 1, Ny): keeps the last-two-dims
+    # Mosaic constraint satisfied for any txs (block (txs, 1, ny))
 
     kern = functools.partial(_fused_A_kernel, groups, cshift, gshift,
                              alb_rows, tzf, txs, ny, jlast)
@@ -389,27 +399,27 @@ def fused_A_dots(
         kern,
         grid=(gz, gx),
         in_specs=[
-            pl.BlockSpec((pl.Element(nd), pl.Element(tzf + 2),
-                          pl.Element(txs + 2), pl.Element(ny)),
-                         lambda j, i: (0, j * tzf, i * txs, 0)),
-            pl.BlockSpec((pl.Element(norb), pl.Element(tzf + 1),
-                          pl.Element(txs + 1), pl.Element(ny)),
-                         lambda j, i: (0, j * tzf, i * txs, 0)),
-            pl.BlockSpec((nd, tzf, txs, ny), lambda j, i: (0, j, i, 0)),
-            pl.BlockSpec((txs, ny), lambda j, i: (i, 0)),
+            pl.BlockSpec((pl.Element(tzf + 2), pl.Element(txs + 2),
+                          pl.Element(nd), pl.Element(ny)),
+                         lambda j, i: (j * tzf, i * txs, 0, 0)),
+            pl.BlockSpec((pl.Element(tzf + 1), pl.Element(txs + 1),
+                          pl.Element(norb), pl.Element(ny)),
+                         lambda j, i: (j * tzf, i * txs, 0, 0)),
+            pl.BlockSpec((tzf, txs, nd, ny), lambda j, i: (j, i, 0, 0)),
+            pl.BlockSpec((txs, 1, ny), lambda j, i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((nd, tzf, txs, ny), lambda j, i: (0, j, i, 0)),
+            pl.BlockSpec((tzf, txs, nd, ny), lambda j, i: (j, i, 0, 0)),
             pl.BlockSpec((1, 1), lambda j, i: (j, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda j, i: (j, i),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nd, nzp1, nx, ny), u.dtype),
+            jax.ShapeDtypeStruct((nzp1, nx, nd, ny), u.dtype),
             jax.ShapeDtypeStruct((gz, gx), jnp.float32),
             jax.ShapeDtypeStruct((gz, gx), jnp.float32),
         ],
         interpret=interpret,
-    )(up_, orb_prepared, w, albedo2d)
-    return Au, jnp.sum(p1), jnp.sum(p2)
+    )(up_, orb_prepared, wt_, alb3)
+    return jnp.moveaxis(Au, 2, 0), jnp.sum(p1), jnp.sum(p2)

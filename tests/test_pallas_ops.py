@@ -127,3 +127,33 @@ def test_fused_A_dots_matches_xla(name, tzf, txs):
     np.testing.assert_allclose(np.asarray(Au), np.asarray(ref), atol=3e-6)
     np.testing.assert_allclose(float(p1), p1_ref, rtol=2e-5)
     np.testing.assert_allclose(float(p2), p2_ref, rtol=2e-5)
+
+
+def test_fused_A_dots_vmap_bicgstab():
+    """Band-chunked (vmapped) BiCGStab with the fused kernel must match
+    the XLA path — the 64^2 bench default runs chunk=8, so vmap safety
+    of the pallas_call is load-bearing."""
+    import jax
+
+    from tenstream_tpu.pprts.ediff import solve_bicgstab
+    from tenstream_tpu.pprts.operators import OrbitCoeff
+
+    s = get_scheme("3_10")
+    nd = s.ndiff
+    nz, nx, ny, nb = 6, 8, 16, 3
+    rng = np.random.default_rng(0)
+    norb = 24
+    idx = rng.integers(0, norb, (nd, nd))
+    orb = jnp.asarray(rng.random((nb, norb, nz, nx, ny)) * 0.02, jnp.float32)
+    b = jnp.asarray(np.abs(rng.random((nb, nd, nz + 1, nx, ny))), jnp.float32)
+    alb = jnp.asarray(rng.random((nx, ny)) * 0.5, jnp.float32)
+
+    def solve(o, bb, pallas):
+        return solve_bicgstab(s, OrbitCoeff(o, idx), bb, alb, rtol=1e-6,
+                              atol=1e-10, maxiter=100, precond="two_level",
+                              use_pallas=pallas)
+
+    x_ref, n_ref, _ = jax.vmap(lambda o, bb: solve(o, bb, False))(orb, b)
+    x_pl, n_pl, _ = jax.vmap(lambda o, bb: solve(o, bb, True))(orb, b)
+    np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_pl))
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref), atol=5e-5)
