@@ -318,8 +318,11 @@ def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
         o_ref[:, :, d, :] = Au
         p1 = p1 + jnp.sum(w_ref[:, :, d, :] * Au)
         p2 = p2 + jnp.sum(Au * Au)
-    p1_ref[0, 0] = p1
-    p2_ref[0, 0] = p2
+    # whole-array SMEM outputs with per-tile dynamic stores: blocked
+    # (1, 1) SMEM specs trip Mosaic's last-two-dims constraint
+    i = pl.program_id(1)
+    p1_ref[j, i] = p1
+    p2_ref[j, i] = p2
 
 
 def prepare_orbit_fused(orb: jnp.ndarray) -> jnp.ndarray:
@@ -410,10 +413,8 @@ def fused_A_dots(
         ],
         out_specs=[
             pl.BlockSpec((tzf, txs, nd, ny), lambda j, i: (j, i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda j, i: (j, i),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda j, i: (j, i),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nzp1, nx, nd, ny), u.dtype),

@@ -86,10 +86,50 @@ class CoarseFactors(NamedTuple):
     build cost scales with log(Nz) dispatch instead of Nz.
 
     The block count is padded to 2^m - 1 with decoupled identity blocks
-    (Lo = Up = 0, r = 0), which is exact."""
+    (Lo = Up = 0, r = 0), which is exact.
+
+    HERMITIAN MODE REDUCTION (round 5): the residual being
+    preconditioned is REAL, so its 2-D DFT satisfies
+    rh(-k) = conj(rh(k)) and — because the operator blocks T(-k) are the
+    conjugates of T(k) (they come from real layer means times e^{±i·}
+    phases) — the per-mode solutions pair the same way.  Only the
+    ~M/2 + boundary canonical modes are factorized and swept;
+    `canon/src/conj` reconstruct the full spectrum.  Halves factor
+    memory, build cost, AND per-apply bytes (at cf=4 on 256² the
+    factors were ~3.7 GB and the apply the largest per-iteration term,
+    PROFILE_r5)."""
 
     levels: tuple  # of CRLevel, coarsest last
     root: jnp.ndarray  # (1, ndiff, ndiff, nmodes): inverse of the last block
+    canon: jnp.ndarray  # (nc,) canonical flat mode ids
+    src: jnp.ndarray  # (M,) canonical position feeding each full mode
+    conj: jnp.ndarray  # (M,) bool: conjugate the canonical value
+
+
+def _hermitian_modes(ncx: int, ncy: int):
+    """Static canonical-mode bookkeeping for a real 2-D DFT.
+
+    Returns (canon, src, conj): `canon` lists the flat (kx*ncy + ky) ids
+    of one representative per conjugate pair {k, -k}; full-spectrum mode
+    m reconstructs as conj^conj[m](x_canon[src[m]])."""
+    canon_list = []
+    pos = {}
+    for kx in range(ncx):
+        for ky in range(ncy):
+            if (kx, ky) in pos:
+                continue
+            pid = len(canon_list)
+            canon_list.append(kx * ncy + ky)
+            pos[(kx, ky)] = (pid, False)
+            pair = ((-kx) % ncx, (-ky) % ncy)
+            if pair != (kx, ky) and pair not in pos:
+                pos[pair] = (pid, True)
+    src = np.zeros(ncx * ncy, np.int32)
+    cj = np.zeros(ncx * ncy, bool)
+    for (kx, ky), (pid, c) in pos.items():
+        src[kx * ncy + ky] = pid
+        cj[kx * ncy + ky] = c
+    return (np.asarray(canon_list, np.int32), src, cj)
 
 
 def auto_coarse_factor(nx: int, ny: int, target: int = 32) -> int:
@@ -258,6 +298,14 @@ def build_coarse_factors(
         Lo = jnp.concatenate([Lo, zp], axis=0)
         Up = jnp.concatenate([Up, zp], axis=0)
 
+    # HERMITIAN REDUCTION: factorize only the canonical half of the
+    # conjugate-paired modes (see CoarseFactors docstring)
+    canon, src, cj = _hermitian_modes(ncx, ncy)
+    canon_j = jnp.asarray(canon)
+    D = jnp.take(D, canon_j, axis=-1)
+    Lo = jnp.take(Lo, canon_j, axis=-1)
+    Up = jnp.take(Up, canon_j, axis=-1)
+
     # cyclic reduction: eliminate EVEN positions each level (boundary
     # blocks carry Lo[0] = Up[-1] = 0, so the formulas need no cases)
     levels = []
@@ -272,7 +320,8 @@ def build_coarse_factors(
         D = Do - _mm(A, Upe[:-1]) - _mm(B, Loe[1:])
         Lo = -_mm(A, Loe[:-1])
         Up = -_mm(B, Upe[1:])
-    return CoarseFactors(tuple(levels), _cinv(D))
+    return CoarseFactors(tuple(levels), _cinv(D), canon_j,
+                         jnp.asarray(src), jnp.asarray(cj))
 
 
 def _dft_mat(n: int, inverse: bool = False) -> jnp.ndarray:
@@ -314,6 +363,9 @@ def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
     nf, L1, ncx, ncy = rc.shape
     rh = _dft2(rc.astype(jnp.complex64))
     rh = jnp.transpose(rh.reshape(nf, L1, ncx * ncy), (1, 0, 2))  # (l, d, m)
+    # Hermitian reduction: sweep only the canonical conjugate-pair
+    # representatives (the rhs is real, see CoarseFactors docstring)
+    rh = jnp.take(rh, factors.canon, axis=-1)
     Lp = 1
     while Lp < L1:
         Lp = 2 * Lp + 1
@@ -342,7 +394,10 @@ def coarse_solve(factors: CoarseFactors, rc: jnp.ndarray) -> jnp.ndarray:
         x = out.at[0::2].set(xe).at[1::2].set(x)
 
     x = x[:L1]  # drop the identity padding
-    xc = jnp.transpose(x, (1, 0, 2)).reshape(nf, L1, ncx, ncy)
+    # reconstruct the full spectrum from the canonical half
+    xf = jnp.take(x, factors.src, axis=-1)
+    xf = jnp.where(factors.conj[None, None, :], jnp.conj(xf), xf)
+    xc = jnp.transpose(xf, (1, 0, 2)).reshape(nf, L1, ncx, ncy)
     return jnp.real(_dft2(xc, inverse=True)).astype(rc.dtype)
 
 

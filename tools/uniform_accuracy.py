@@ -71,9 +71,15 @@ def main():
             s.options.set("atm_collapse", k_run)
         s.set_angles(sundir_from_angles(120.0, 40.0))
         t0 = time.time()
+        # default chunk mirrors bench.py's working sets: chunk=1 at
+        # BASELINE-scale grids (chunk=8 there OOM'd: the cf=4 PC
+        # factors vmap x8 to ~640 MB/level, docs/UNIFORM_256_r5.log
+        # first attempt), chunk=8 below
+        default_chunk = 1 if nx * ny >= 128 * 128 else 8
         res = specint_pprts(s, atm, albedo=0.15, lthermal=True,
                             lsolar=True, specint=gas,
-                            band_chunk=int(os.environ.get("BENCH_CHUNK", 8)))
+                            band_chunk=int(os.environ.get("BENCH_CHUNK",
+                                                          default_chunk)))
         jax.block_until_ready(res.abso)
         print(f"# {nx}x{ny}: {time.time()-t0:.1f}s", file=sys.stderr)
         s.check_convergence()
