@@ -314,7 +314,11 @@ def _fused_A_kernel(groups, cshift, gshift, alb_rows, tzf, txs, ny, jlast,
             wd_alb = w_list[up_list.index(d)]
             mask = jnp.where(j == jlast, jnp.float32(wd_alb), 0.0)
             alb_term = mask * alb_ref[:, 0, :] * edn_sfc  # (txs, ny)
-            Au = Au.at[tzf - 1].add(-alb_term)
+            # row-mask add: Mosaic has no scatter-add lowering for
+            # Au.at[row].add(...)
+            row = jax.lax.broadcasted_iota(jnp.int32, (tzf, 1, 1), 0)
+            rowm = (row == (tzf - 1)).astype(Au.dtype)
+            Au = Au - rowm * alb_term[None, :, :]
         o_ref[:, :, d, :] = Au
         p1 = p1 + jnp.sum(w_ref[:, :, d, :] * Au)
         p2 = p2 + jnp.sum(Au * Au)
