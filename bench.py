@@ -213,6 +213,24 @@ def main():
         solver.options.set("pprts_pallas_diffuse", bool(int(os.environ["BENCH_PALLAS"])))
     if os.environ.get("BENCH_Z_SLAB"):
         solver.options.set("pprts_assembly_z_slab", int(os.environ["BENCH_Z_SLAB"]))
+    # generic passthrough for A/B bisects: BENCH_OPT_<name>=<value> sets
+    # options "<name>" (lower-cased); values parse as int/float/bool
+    # where possible, else stay strings
+    for k, v in sorted(os.environ.items()):
+        if not k.startswith("BENCH_OPT_"):
+            continue
+        name = k[len("BENCH_OPT_"):].lower()
+        val: object = v
+        for cast in (int, float):
+            try:
+                val = cast(v)
+                break
+            except ValueError:
+                pass
+        if v.lower() in ("true", "false"):
+            val = v.lower() == "true"
+        solver.options.set(name, val)
+        print(f"# BENCH_OPT override: {name}={val!r}", file=sys.stderr)
     # warm-start cache policy: "auto" keeps exact f32 warm starts while
     # the cache is small (bf16 quantization re-burns iterations on every
     # re-solve: 651 vs 1435 cols/s here), degrades to bf16/off at large
