@@ -544,6 +544,7 @@ def _trace_adaptive(
         # wins per slice) — observed when a CPU refinement pass and a
         # TPU generation pass raced diff_src0.npz
         lock = checkpoint_path + ".lock"
+        os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
