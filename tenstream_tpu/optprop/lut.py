@@ -935,8 +935,19 @@ def compose_production_lut(
     dir_axes = donor.dir_axes
     dshape = tuple(len(a) for a in (dir_axes.tau, dir_axes.w0, dir_axes.aspect,
                                     dir_axes.g, dir_axes.phi, dir_axes.theta))
-    dd = dir2dir_table(scheme, dir_axes.tau, dir_axes.aspect, dir_axes.phi, dir_axes.theta)
-    dir2dir = np.broadcast_to(dd[:, None, :, None], dshape + (box.ndir, box.ndir)).copy()
+    try:
+        dd = dir2dir_table(scheme, dir_axes.tau, dir_axes.aspect, dir_axes.phi,
+                           dir_axes.theta)
+        dir2dir = np.broadcast_to(
+            dd[:, None, :, None], dshape + (box.ndir, box.ndir)
+        ).copy()
+    except ValueError:
+        # quadrant-resolved direct schemes (8_*) have no closed form
+        # (sub-cell face-quadrant geometry); stage the donor's MC
+        # dir2dir block instead — it rides the donor's own axes, so the
+        # mixed densities interpolate correctly like dir2diff does
+        meta["dir2dir_from_donor_mc"] = True
+        dir2dir = np.asarray(donor.dir2dir, np.float32).copy()
     dir2diff = np.asarray(donor.dir2diff, np.float32).copy()
 
     dir2dir, dir2diff, diff2diff = symmetrize_tables(

@@ -63,8 +63,10 @@ def test_8_10_production_solver_end_to_end():
         + (edir[-1] + edn[-1] - eup[-1]).mean()
     )
     assert abs(balance - incoming) / incoming < 0.05, (balance, incoming)
-    # the direct beam is closed-form dir2dir: below-cloud shadow must be
-    # strictly darker than the clear-sky column average
-    shadow = edir[-1, 4:8, 4:8].mean()
-    clear = edir[-1, 0:3, 0:3].mean()
-    assert shadow < 0.6 * clear, (shadow, clear)
+    # a tau=5 cloud must cast a deep shadow SOMEWHERE at the surface
+    # (displaced ~tan(40 deg)*350 m ~ 3 cells downwind of the cloud, so
+    # locate it instead of assuming its position), while clear columns
+    # stay near the unattenuated beam
+    sfc = edir[-1]
+    assert sfc.min() < 0.45 * sfc.max(), (sfc.min(), sfc.max())
+    assert sfc.max() > 0.8 * incoming, (sfc.max(), incoming)
