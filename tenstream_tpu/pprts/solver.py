@@ -333,7 +333,7 @@ class PprtsSolver:
             n_inner, edir_aitken, edir_cleanup = inner_iter_policy(theta)
         else:
             edir_aitken = self.options.get_bool("edir_aitken", False)
-            edir_cleanup = True
+            edir_cleanup = self.options.get_bool("edir_cleanup", True)
         # OPT-IN cold-solve initial guess from the exact two-stream
         # column solution (reference initial-guess-by-twostream option,
         # `src/pprts.F90:2536-2575`).  Measured trade-off on cold box-
